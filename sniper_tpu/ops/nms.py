@@ -1,0 +1,171 @@
+"""NMS family: host greedy NMS / soft-NMS oracles + jittable device NMS.
+
+Host (NumPy) versions reproduce the reference Cython kernels exactly and
+serve both the eval path (order-dependent soft-NMS must be bit-faithful
+for mAP parity) and as oracles for the device versions:
+- greedy NMS:  /root/reference/lib/nms/cpu_nms.pyx:112-163
+- soft-NMS:    /root/reference/lib/nms/cpu_nms.pyx:17-110 (Navaneeth
+  swap-based variant: in-place max-selection sort + score decay with a
+  dynamic tail; method 2 = gaussian weight exp(-ov^2/sigma))
+
+Device version ``nms_jax`` is a static-shape jittable greedy NMS
+(select-max / suppress loop under ``lax.fori_loop``) used inside the
+fused proposal ops; it matches the host greedy NMS keep-set for
+distinct scores.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sniper_tpu.ops.boxes import box_area
+
+NEG_INF = -1e10
+
+
+def nms_np(dets: np.ndarray, thresh: float) -> list[int]:
+    """Greedy hard NMS. dets [N,5] (xyxy, score) -> keep indices.
+
+    Suppression uses ``ovr >= thresh`` like the reference CPU kernel.
+    """
+    if dets.shape[0] == 0:
+        return []
+    boxes = dets[:, :4].astype(np.float64)
+    scores = dets[:, 4]
+    areas = box_area(boxes)
+    order = scores.argsort()[::-1]
+    suppressed = np.zeros(dets.shape[0], dtype=bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ovr = inter / (areas[i] + areas - inter)
+        suppressed |= ovr >= thresh
+    return keep
+
+
+def soft_nms_np(
+    boxes: np.ndarray,
+    sigma: float = 0.5,
+    Nt: float = 0.3,
+    threshold: float = 0.001,
+    method: int = 2,
+) -> np.ndarray:
+    """Soft-NMS, bit-faithful to the reference Cython kernel.
+
+    ``boxes`` is [N,5] float32 (xyxy, score); returns the surviving
+    [M,5] rows in the reference's emission order (max-score selection
+    sort with swap; decayed boxes below ``threshold`` replaced by the
+    dynamic tail). Sequential by nature — float32 arithmetic throughout
+    to match the Cython float locals.
+    """
+    b = np.array(boxes, dtype=np.float32, copy=True)
+    N = b.shape[0]
+    i = 0
+    while i < N:
+        # select max-score box in b[i:N], swap into position i
+        maxpos = i + int(np.argmax(b[i:N, 4]))
+        b[[i, maxpos]] = b[[maxpos, i]]
+        tx1, ty1, tx2, ty2 = b[i, 0], b[i, 1], b[i, 2], b[i, 3]
+        tarea = np.float32((tx2 - tx1 + 1) * (ty2 - ty1 + 1))
+
+        pos = i + 1
+        while pos < N:
+            x1, y1, x2, y2 = b[pos, 0], b[pos, 1], b[pos, 2], b[pos, 3]
+            area = np.float32((x2 - x1 + 1) * (y2 - y1 + 1))
+            iw = np.float32(min(tx2, x2) - max(tx1, x1) + 1)
+            if iw > 0:
+                ih = np.float32(min(ty2, y2) - max(ty1, y1) + 1)
+                if ih > 0:
+                    ua = np.float32(tarea + area - iw * ih)
+                    ov = np.float32(iw * ih / ua)
+                    if method == 1:  # linear
+                        weight = np.float32(1 - ov) if ov > Nt else np.float32(1)
+                    elif method == 2:  # gaussian
+                        weight = np.float32(np.exp(-(ov * ov) / np.float32(sigma)))
+                    else:  # hard
+                        weight = np.float32(0) if ov > Nt else np.float32(1)
+                    b[pos, 4] = np.float32(weight * b[pos, 4])
+                    if b[pos, 4] < threshold:
+                        b[pos] = b[N - 1]
+                        N -= 1
+                        pos -= 1
+            pos += 1
+        i += 1
+    return b[:N]
+
+
+class NMSWrapper:
+    """thresh>0 -> hard NMS; else gaussian soft-NMS with ``sigma``.
+
+    Mirrors /root/reference/lib/nms/nms.py:15-23 so config
+    (TEST.NMS, TEST.NMS_SIGMA) drives the same behavior.
+    """
+
+    def __init__(self, thresh: float, sigma: float):
+        assert thresh < 0 or sigma < 0, "set exactly one of thresh/sigma"
+        self.thresh = thresh
+        self.sigma = sigma
+
+    def __call__(self, dets: np.ndarray) -> np.ndarray:
+        if self.thresh > 0:
+            keep = nms_np(dets.astype(np.float32), self.thresh)
+            return dets[keep]
+        return soft_nms_np(dets, sigma=self.sigma, method=2)
+
+
+def nms_jax(
+    boxes: jax.Array,
+    scores: jax.Array,
+    max_out: int,
+    thresh: float,
+    strict: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Static-shape greedy NMS for one image, jittable.
+
+    boxes [N,4] xyxy, scores [N] (invalid entries must carry score
+    <= NEG_INF/2). Returns (keep_idx [max_out] int32, valid [max_out]
+    bool). Greedy order = descending score; suppression ``ovr >= thresh``
+    (or ``>`` when strict=True, the CUDA-kernel convention).
+
+    Select-max/suppress loop: max_out iterations of an O(N) argmax +
+    IoU row — O(max_out * N) work, all VPU-friendly, no [N,N] matrix.
+    """
+    n = boxes.shape[0]
+    areas = box_area(boxes)
+
+    def body(_, state):
+        live_scores, keep, valid, k = state
+        i = jnp.argmax(live_scores)
+        ok = live_scores[i] > NEG_INF / 2
+        bi = boxes[i]
+        xx1 = jnp.maximum(bi[0], boxes[:, 0])
+        yy1 = jnp.maximum(bi[1], boxes[:, 1])
+        xx2 = jnp.minimum(bi[2], boxes[:, 2])
+        yy2 = jnp.minimum(bi[3], boxes[:, 3])
+        inter = jnp.maximum(0.0, xx2 - xx1 + 1) * jnp.maximum(0.0, yy2 - yy1 + 1)
+        ovr = inter / (areas[i] + areas - inter)
+        sup = (ovr > thresh) if strict else (ovr >= thresh)
+        new_scores = jnp.where(ok & sup, NEG_INF, live_scores)
+        new_scores = new_scores.at[i].set(NEG_INF)
+        keep = keep.at[k].set(jnp.where(ok, i.astype(jnp.int32), -1))
+        valid = valid.at[k].set(ok)
+        return new_scores, keep, valid, k + 1
+
+    keep0 = jnp.full((max_out,), -1, dtype=jnp.int32)
+    valid0 = jnp.zeros((max_out,), dtype=bool)
+    _, keep, valid, _ = jax.lax.fori_loop(
+        0, max_out, body, (scores.astype(jnp.float32), keep0, valid0, 0)
+    )
+    del n
+    return keep, valid

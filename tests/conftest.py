@@ -1,0 +1,33 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+
+All tests run on CPU (fast, deterministic, no TPU contention) with 8
+virtual devices so multi-chip sharding paths are exercised for real.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def random_boxes(rng, n, hw=(512, 512), min_size=4, max_size=200):
+    """[n,5] random xyxy+score boxes inside an hw canvas."""
+    h, w = hw
+    x1 = rng.uniform(0, w - max_size, n)
+    y1 = rng.uniform(0, h - max_size, n)
+    bw = rng.uniform(min_size, max_size, n)
+    bh = rng.uniform(min_size, max_size, n)
+    scores = rng.uniform(0.01, 1.0, n)
+    return np.stack([x1, y1, x1 + bw, y1 + bh, scores], axis=1).astype(np.float32)
