@@ -1,0 +1,50 @@
+"""ctypes loader for the native chip set-cover kernel (native/chips.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_SO = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libsniper_chips.so",
+)
+
+
+class _CppCover:
+    def __init__(self, lib):
+        self._fn = lib.sniper_greedy_cover
+        self._fn.restype = ctypes.c_int
+        self._fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+
+    def greedy_cover(self, cands: np.ndarray, boxes: np.ndarray) -> list[int]:
+        cands = np.ascontiguousarray(cands, dtype=np.float64)
+        boxes = np.ascontiguousarray(boxes, dtype=np.float64)
+        out = np.empty(cands.shape[0], dtype=np.int32)
+        n = self._fn(
+            cands.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cands.shape[0],
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            boxes.shape[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        return out[:n].tolist()
+
+
+def load() -> _CppCover | None:
+    """Load the native kernel; None when not built (NumPy fallback used)."""
+    if not os.path.exists(_SO):
+        return None
+    try:
+        return _CppCover(ctypes.CDLL(_SO))
+    except OSError:
+        return None
