@@ -1,0 +1,142 @@
+"""The assembled SNIPER detector: trunk + RPN + fused proposal ops + heads.
+
+One flax module whose ``__call__`` covers both modes of the reference
+symbols (resnet_mx_101_e2e.get_symbol_rcnn train/test,
+/root/reference/symbols/faster/resnet_mx_101_e2e.py:227-389):
+
+train:  trunk -> C4||C5 -> RPN -> multi_proposal_target (fused decode/
+        NMS/sampling with SNIPER valid_ranges) -> deformable-ROI head ->
+        logits; returns everything the loss needs.
+infer:  trunk -> RPN -> multi_proposal -> head -> per-roi class probs +
+        class-agnostic deltas (+ FocusPixel probs for AutoFocus).
+
+Everything lives in a single jitted apply; the proposal ops are plain
+functions (no params) so the module stays a pytree of parameters only.
+Anchor grids are baked as compile-time constants from static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sniper_tpu.models.heads import AutoFocusHead, RCNNHead, RPNHead
+from sniper_tpu.models.resnet import ResNetTrunk
+from sniper_tpu.ops.proposals import (
+    make_anchors_ahw,
+    multi_proposal,
+    multi_proposal_target,
+)
+
+
+class SNIPERDetector(nn.Module):
+    num_classes: int = 81
+    num_anchors: int = 21
+    anchor_ratios: Sequence[float] = (0.5, 1, 2)
+    anchor_scales: Sequence[float] = (2, 4, 7, 10, 13, 16, 24)
+    feat_stride: int = 16
+    units: Sequence[int] = (3, 4, 23, 3)
+    autofocus: bool = False
+    dtype: Any = jnp.bfloat16
+    # proposal op params (TRAIN.* / TEST.* RPN keys)
+    pre_nms_top_n: int = 6000
+    post_nms_top_n: int = 300
+    nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    num_rois: int = 300
+    fg_fraction: float = 0.25
+    fg_thresh: float = 0.5
+    bg_thresh_hi: float = 0.5
+    bg_thresh_lo: float = 0.0
+    bbox_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
+    bbox_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
+
+    def _anchors(self, fh: int, fw: int):
+        return jnp.asarray(
+            make_anchors_ahw(fh, fw, self.feat_stride, self.anchor_ratios,
+                             self.anchor_scales)
+        )
+
+    @nn.compact
+    def __call__(self, data, im_info, gt_boxes=None, valid_ranges=None,
+                 train: bool = True):
+        """data [B,H,W,3] (mean-subtracted), im_info [B,3] (h, w, scale);
+        train also needs gt_boxes [B,G,5], valid_ranges [B,2] and a
+        'sampling' PRNG stream."""
+        c4, c5 = ResNetTrunk(
+            units=self.units, dtype=self.dtype, name="trunk"
+        )(data, train=train)
+        feat = jnp.concatenate(
+            [c4.astype(jnp.float32), c5.astype(jnp.float32)], axis=-1
+        )
+
+        rpn_cls_logits, rpn_bbox = RPNHead(self.num_anchors, name="rpn")(feat)
+        # objectness: softmax over the {bg, fg} axis -> fg prob [B,A,H,W]
+        rpn_probs = jax.nn.softmax(rpn_cls_logits, axis=3)[..., 1, :]
+        rpn_fg = rpn_probs.transpose(0, 3, 1, 2)
+
+        roi_feat_map = nn.relu(
+            nn.Conv(256, (1, 1), kernel_init=nn.initializers.normal(0.01),
+                    name="conv_new_1")(feat)
+        )
+        focus_logits = (
+            AutoFocusHead(name="autofocus")(feat) if self.autofocus else None
+        )
+
+        b, fh, fw = feat.shape[0], feat.shape[1], feat.shape[2]
+        anchors = self._anchors(fh, fw)
+
+        head = RCNNHead(self.num_classes, name="rcnn")
+
+        if train:
+            key = self.make_rng("sampling")
+            tgt = multi_proposal_target(
+                rpn_fg, rpn_bbox, im_info, gt_boxes, valid_ranges, anchors,
+                key, pre_nms=self.pre_nms_top_n, post_nms=self.post_nms_top_n,
+                thresh=self.nms_thresh, min_size=self.rpn_min_size,
+                num_rois=self.num_rois, fg_fraction=self.fg_fraction,
+                fg_thresh=self.fg_thresh, bg_thresh_hi=self.bg_thresh_hi,
+                bg_thresh_lo=self.bg_thresh_lo,
+                bbox_stds=tuple(self.bbox_stds),
+                bbox_means=tuple(self.bbox_means),
+            )
+            rois_flat = jax.lax.stop_gradient(tgt.rois.reshape(-1, 5))
+            cls_score, bbox_pred = head(roi_feat_map, rois_flat)
+            return {
+                "rpn_cls_logits": rpn_cls_logits,  # [B,H,W,2,A]
+                "rpn_bbox_pred": rpn_bbox,         # [B,4A,H,W]
+                "rois": tgt.rois,
+                "rcnn_labels": tgt.labels,         # [B,R]
+                "rcnn_bbox_targets": tgt.bbox_targets,
+                "rcnn_bbox_weights": tgt.bbox_weights,
+                "cls_score": cls_score.reshape(b, self.num_rois, -1),
+                "bbox_pred": bbox_pred.reshape(b, self.num_rois, 4),
+                "focus_logits": focus_logits,
+            }
+
+        rois, scores, valid = multi_proposal(
+            rpn_fg, rpn_bbox, im_info, anchors,
+            pre_nms=self.pre_nms_top_n, post_nms=self.post_nms_top_n,
+            thresh=self.nms_thresh, min_size=self.rpn_min_size,
+        )
+        rois_flat = rois.reshape(-1, 5)
+        cls_score, bbox_pred = head(roi_feat_map, rois_flat)
+        n = self.post_nms_top_n
+        out = {
+            "rois": rois,                           # [B,N,5]
+            "roi_scores": scores,
+            "roi_valid": valid,
+            "cls_prob": jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1),
+            # undo BBOX_STDS normalization here instead of folding weights
+            # at checkpoint time like the reference (_test params)
+            "bbox_pred": (
+                bbox_pred * jnp.asarray(self.bbox_stds)
+                + jnp.asarray(self.bbox_means)
+            ).reshape(b, n, 4),
+        }
+        if self.autofocus:
+            out["focus_prob"] = jax.nn.softmax(focus_logits, axis=-1)[..., 1]
+        return out

@@ -1,0 +1,50 @@
+"""Model registry: reference symbol names -> detector constructors.
+
+The reference instantiates symbols by name via ``eval(config.symbol)``
+(main_train.py:83-84); here names map through an explicit registry so
+reference configs drive the same model selection.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sniper_tpu.models.detector import SNIPERDetector
+
+
+def _resnet(units):
+    def build(cfg, **overrides):
+        kw = dict(
+            num_classes=cfg.dataset.NUM_CLASSES,
+            num_anchors=cfg.network.NUM_ANCHORS,
+            anchor_ratios=tuple(cfg.network.ANCHOR_RATIOS),
+            anchor_scales=tuple(cfg.network.ANCHOR_SCALES),
+            feat_stride=cfg.network.RPN_FEAT_STRIDE,
+            units=units,
+            autofocus=bool(cfg.TRAIN.AUTO_FOCUS or cfg.TEST.AUTO_FOCUS),
+            dtype=jnp.bfloat16 if cfg.TRAIN.bf16 else jnp.float32,
+            bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
+            bbox_means=tuple(cfg.TRAIN.BBOX_MEANS),
+        )
+        kw.update(overrides)
+        return SNIPERDetector(**kw)
+
+    return build
+
+
+_REGISTRY = {
+    "resnet_mx_101_e2e": _resnet((3, 4, 23, 3)),
+    "resnet_mx_101_e2e_mask": _resnet((3, 4, 23, 3)),  # mask head: round 2
+    "resnet_mx_50_e2e": _resnet((3, 4, 6, 3)),
+}
+
+
+def list_models():
+    return sorted(_REGISTRY)
+
+
+def get_model(cfg, **overrides):
+    name = cfg.symbol
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model symbol {name!r}; known: {list_models()}")
+    return _REGISTRY[name](cfg, **overrides)

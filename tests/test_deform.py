@@ -1,0 +1,124 @@
+"""Deformable op tests: zero-offset equivalence to standard convs/pools
+and a literal NumPy oracle for the DCN ROI-pooling semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sniper_tpu.ops.deform import deformable_conv, deformable_psroi_pool
+
+
+def test_deform_conv_zero_offsets_equals_dilated_conv(rng):
+    B, H, W, C, O = 2, 12, 12, 8, 6
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    k = rng.randn(3, 3, C, O).astype(np.float32) * 0.1
+    offsets = np.zeros((B, H, W, 4 * 9 * 2), np.float32)
+    got = deformable_conv(jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(k),
+                          num_groups=4, dilation=2)
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1), [(2, 2), (2, 2)],
+        rhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # borders differ: zero-padding (conv) vs edge-clamped sampling (deform);
+    # compare interior only
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 2:-2, 2:-2], np.asarray(want)[:, 2:-2, 2:-2],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_deform_conv_offset_shifts_sampling(rng):
+    # constant-gradient image: offset of +1 in x shifts the sampled value
+    B, H, W = 1, 10, 10
+    ramp = np.arange(W, dtype=np.float32)[None, None, :, None] * np.ones((B, H, W, 4))
+    k = np.zeros((3, 3, 4, 1), np.float32)
+    k[1, 1, 0, 0] = 1.0  # identity on center tap, channel 0
+    off0 = np.zeros((B, H, W, 1 * 9 * 2), np.float32)
+    off1 = off0.copy()
+    off1[..., 2 * 4 + 1] = 1.0  # center tap (t=4) x-offset +1
+    y0 = np.asarray(deformable_conv(jnp.asarray(ramp), jnp.asarray(off0),
+                                    jnp.asarray(k), num_groups=1, dilation=1))
+    y1 = np.asarray(deformable_conv(jnp.asarray(ramp), jnp.asarray(off1),
+                                    jnp.asarray(k), num_groups=1, dilation=1))
+    np.testing.assert_allclose(y1[0, :, :-2, 0] - y0[0, :, :-2, 0], 1.0, atol=1e-5)
+
+
+def psroi_oracle(feat, rois, trans, P, S, scale, trans_std):
+    """Literal CUDA-kernel transliteration (one roi, NHWC feat)."""
+    B, H, W, C = feat.shape
+    out = np.zeros((len(rois), P, P, C), np.float64)
+    for r, roi in enumerate(rois):
+        b = int(roi[0])
+        x1 = round(roi[1]) * scale - 0.5
+        y1 = round(roi[2]) * scale - 0.5
+        x2 = (round(roi[3]) + 1.0) * scale - 0.5
+        y2 = (round(roi[4]) + 1.0) * scale - 0.5
+        rw, rh = max(x2 - x1, 0.1), max(y2 - y1, 0.1)
+        bw, bh = rw / P, rh / P
+        sw, sh = bw / S, bh / S
+        for i in range(P):
+            for j in range(P):
+                oy = trans[r, i, j, 0] * trans_std * rh if trans is not None else 0
+                ox = trans[r, i, j, 1] * trans_std * rw if trans is not None else 0
+                hs = y1 + i * bh + oy
+                ws = x1 + j * bw + ox
+                acc = np.zeros(C)
+                cnt = 0
+                for ih in range(S):
+                    for iw in range(S):
+                        h = hs + (ih + 0.5) * sh
+                        w = ws + (iw + 0.5) * sw
+                        if w < -0.5 or w > W - 0.5 or h < -0.5 or h > H - 0.5:
+                            continue
+                        h = min(max(h, 0), H - 1)
+                        w = min(max(w, 0), W - 1)
+                        h0, w0 = int(np.floor(h)), int(np.floor(w))
+                        h1, w1 = min(h0 + 1, H - 1), min(w0 + 1, W - 1)
+                        lh, lw = h - h0, w - w0
+                        v = (
+                            feat[b, h0, w0] * (1 - lh) * (1 - lw)
+                            + feat[b, h0, w1] * (1 - lh) * lw
+                            + feat[b, h1, w0] * lh * (1 - lw)
+                            + feat[b, h1, w1] * lh * lw
+                        )
+                        acc += v
+                        cnt += 1
+                out[r, i, j] = acc / max(cnt, 1)
+    return out
+
+
+def test_psroi_pool_matches_oracle(rng):
+    feat = rng.randn(2, 16, 16, 5).astype(np.float32)
+    rois = np.array(
+        [[0, 10, 20, 120, 200], [1, 0, 0, 255, 255], [0, 200, 200, 250, 250]],
+        np.float32,
+    )
+    trans = (rng.randn(3, 7, 7, 2) * 0.5).astype(np.float32)
+    got = np.asarray(
+        deformable_psroi_pool(jnp.asarray(feat), jnp.asarray(rois),
+                              jnp.asarray(trans))
+    )
+    want = psroi_oracle(feat, rois, trans, 7, 4, 0.0625, 0.1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_psroi_pool_no_trans_matches_oracle(rng):
+    feat = rng.randn(1, 8, 8, 3).astype(np.float32)
+    rois = np.array([[0, 16, 16, 96, 96]], np.float32)
+    got = np.asarray(
+        deformable_psroi_pool(jnp.asarray(feat), jnp.asarray(rois), None)
+    )
+    want = psroi_oracle(feat, rois, None, 7, 4, 0.0625, 0.1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_deform_ops_differentiable(rng):
+    feat = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    rois = jnp.asarray(np.array([[0, 10, 10, 100, 100]], np.float32))
+
+    def f(feat):
+        return deformable_psroi_pool(feat, rois, None).sum()
+
+    g = jax.grad(f)(feat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
