@@ -1,0 +1,232 @@
+"""SNIPER training data engine: per-epoch chip pipeline + batch assembly.
+
+Rebuild of the reference MNIteratorE2E + im_worker + PrefetchingIter
+(/root/reference/lib/iterators/MNIteratorE2E.py:41-220,
+lib/data_utils/data_workers.py:80-121, lib/iterators/PrefetchingIter.py):
+
+per epoch (reset):
+- re-roll the chip stride in [56, 60), re-extract positive chips for
+  every image (greedy set-cover per scale), assign boxes, mine negative
+  chips and sample at most 2 per image, pad the shuffled chip index to a
+  batch multiple, and shuffle each image's chip visit order,
+
+per batch:
+- each index entry names an image; the image contributes its next chip
+  (round-robin through its shuffled chip_order),
+- image is read (BGR), optionally flipped, cropped to the chip, resized
+  by the chip's im_scale, converted to RGB, mean-subtracted and padded
+  into the fixed [chip, chip] canvas (NHWC here, vs reference NCHW),
+- RPN targets per chip via AnchorTargetAssigner (dense static shapes),
+- valid_ranges scaled into chip pixels (lo*scale or 0 / hi*scale or
+  chip_size),
+
+and a 1-deep background prefetch thread overlaps host work with device
+steps. Single-process by design: the reference burns a 64-process pool
+on Python-2 loops; the vectorized NumPy pipeline here feeds the same
+batch shapes from one core (and remains trivially shardable across
+hosts by splitting the roidb).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from sniper_tpu.chips.assigner import assign_boxes, extract_chips
+from sniper_tpu.chips.generator import ChipGenerator
+from sniper_tpu.data.anchor_targets import AnchorTargetAssigner, AutoFocusParams
+
+
+def load_image_cv2(path):
+    import cv2
+
+    im = cv2.imread(path, cv2.IMREAD_COLOR)
+    if im is None:
+        raise FileNotFoundError(path)
+    return im
+
+
+def process_chip_image(im_bgr, chip_box, im_scale, chip_size, pixel_means,
+                       flipped=False):
+    """Crop->resize->RGB->mean-subtract->pad, reference im_worker.worker
+    semantics (data_workers.py:80-121). Returns [chip, chip, 3] float32
+    (NHWC, RGB) — the reference emits CHW; layout is the only change."""
+    import cv2
+
+    im = im_bgr[:, ::-1, :] if flipped else im_bgr
+    x1, y1, x2, y2 = (int(v) for v in chip_box[:4])
+    im = im[max(y1, 0) : y2, max(x1, 0) : x2, :]
+    im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
+                    interpolation=cv2.INTER_LINEAR)
+    out = np.zeros((chip_size, chip_size, 3), dtype=np.float32)
+    h = min(im.shape[0], chip_size)
+    w = min(im.shape[1], chip_size)
+    # BGR -> RGB with per-channel mean subtraction
+    for j in range(3):
+        out[:h, :w, j] = im[:h, :w, 2 - j] - pixel_means[2 - j]
+    return out
+
+
+class ChipLoader:
+    """Epoch-based chip batch iterator."""
+
+    def __init__(self, roidb, cfg, batch_size, image_loader=load_image_cv2,
+                 seed=0):
+        self.roidb = roidb
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.image_loader = image_loader
+        self.rng = np.random.RandomState(seed)
+        self.chip_size = cfg.TRAIN.CHIP_SIZE
+        self.n_neg_per_im = 2
+        af = None
+        if cfg.TRAIN.AUTO_FOCUS:
+            af = AutoFocusParams(
+                small_thresh=cfg.TRAIN.AUTO_FOCUS_SMALL_THRESH,
+                dc_low=cfg.TRAIN.AUTO_FOCUS_DC_LOW,
+                dc_high=cfg.TRAIN.AUTO_FOCUS_DC_HIGH,
+            )
+        self.assigner = AnchorTargetAssigner(
+            chip_size=self.chip_size,
+            anchor_scales=cfg.network.ANCHOR_SCALES,
+            anchor_ratios=cfg.network.ANCHOR_RATIOS,
+            feat_stride=cfg.network.RPN_FEAT_STRIDE,
+            rpn_batch_size=cfg.TRAIN.RPN_BATCH_SIZE,
+            fg_fraction=cfg.TRAIN.RPN_FG_FRACTION,
+            pos_thresh=cfg.TRAIN.RPN_POSITIVE_OVERLAP,
+            neg_thresh=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
+            max_n_gts=cfg.TRAIN.MAX_GT_BOXES,
+            autofocus=af,
+        )
+        self.size = 0
+
+    def reset(self):
+        """Per-epoch chip pipeline; returns total chip count."""
+        cfg = self.cfg
+        lo, hi = cfg.TRAIN.CHIP_STRIDE_RANGE
+        stride = self.rng.randint(lo, hi)
+        gen = ChipGenerator(chip_stride=stride, use_cpp=cfg.TRAIN.CPP_CHIPS,
+                            rng=self.rng)
+        self.gen = gen
+        scales, ranges = cfg.TRAIN.SCALES, cfg.TRAIN.VALID_RANGES
+        chip_count = 0
+        chipindex = []
+        for i, r in enumerate(self.roidb):
+            r["crops"] = extract_chips(r, scales, ranges, self.chip_size, gen)
+            chip_count += len(r["crops"])
+        for i, r in enumerate(self.roidb):
+            props, negs, negp = assign_boxes(
+                r, scales, ranges, self.chip_size, gen,
+                use_neg_chips=cfg.TRAIN.USE_NEG_CHIPS,
+            )
+            r["props_in_chips"] = list(props)
+            if cfg.TRAIN.USE_NEG_CHIPS and len(negs) > 0:
+                sel = np.arange(len(negs))
+                if len(negs) > self.n_neg_per_im:
+                    sel = self.rng.permutation(sel)[: self.n_neg_per_im]
+                for ind in sel:
+                    chip_count += 1
+                    r["crops"].append(negs[ind])
+                    r["props_in_chips"].append(negp[ind].astype(np.int32))
+            chipindex += [i] * len(r["crops"])
+
+        chipindex = np.array(chipindex, dtype=int)
+        if chipindex.size == 0:
+            self.inds = chipindex
+            self.size = 0
+            return 0
+        if chipindex.shape[0] % self.batch_size > 0:
+            extra = self.batch_size - (chipindex.shape[0] % self.batch_size)
+            chipindex = np.hstack((chipindex, chipindex[:extra]))
+        self.inds = self.rng.permutation(chipindex)
+        self.size = len(self.inds)
+        self.crop_idx = [0] * len(self.roidb)
+        for r in self.roidb:
+            r["chip_order"] = self.rng.permutation(np.arange(len(r["crops"])))
+        return chip_count
+
+    def _sample(self, im_idx):
+        """Assemble one training sample (the image's next chip)."""
+        cfg = self.cfg
+        r = self.roidb[im_idx]
+        order = r["chip_order"]
+        crop_id = order[self.crop_idx[im_idx] % len(order)]
+        self.crop_idx[im_idx] += 1
+        chip = r["crops"][crop_id]
+
+        im = self.image_loader(r["image"])
+        data = process_chip_image(
+            im, chip.box, chip.im_scale, self.chip_size,
+            cfg.network.PIXEL_MEANS, flipped=r.get("flipped", False),
+        )
+
+        gtids = np.where(r["max_overlaps"] == 1)[0]
+        tgt = self.assigner(
+            np.asarray(chip.box), chip.im_scale,
+            r["props_in_chips"][crop_id], gtids, r["boxes"],
+            r["max_classes"][gtids], self.rng,
+        )
+        vr = cfg.TRAIN.VALID_RANGES[chip.scale_idx]
+        valid_range = np.array(
+            [
+                0.0 if vr[0] < 0 else vr[0] * chip.im_scale,
+                float(self.chip_size) if vr[1] < 0 else vr[1] * chip.im_scale,
+            ],
+            np.float32,
+        )
+        im_info = np.array(
+            [min(chip.out_h, self.chip_size), min(chip.out_w, self.chip_size),
+             chip.im_scale],
+            np.float32,
+        )
+        sample = {
+            "data": data,
+            "im_info": im_info,
+            "valid_ranges": valid_range,
+            "label": tgt.labels,
+            "bbox_target": tgt.bbox_targets,
+            "bbox_weight": tgt.bbox_weights,
+            "gt_boxes": tgt.gt_boxes,
+        }
+        if tgt.focus_label is not None:
+            sample["scale_label"] = tgt.focus_label
+        return sample
+
+    def __iter__(self):
+        for start in range(0, self.size, self.batch_size):
+            samples = [
+                self._sample(self.inds[i])
+                for i in range(start, start + self.batch_size)
+            ]
+            yield {
+                k: np.stack([s[k] for s in samples]) for k in samples[0]
+            }
+
+    def __len__(self):
+        return self.size // self.batch_size if self.size else 0
+
+
+class Prefetcher:
+    """Background-thread batch prefetch (PrefetchingIter equivalent)."""
+
+    def __init__(self, iterable, depth: int = 2):
+        self.iterable = iterable
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.thread = threading.Thread(target=self._work, daemon=True)
+        self.thread.start()
+
+    def _work(self):
+        try:
+            for item in self.iterable:
+                self.q.put(item)
+        finally:
+            self.q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item

@@ -1,0 +1,216 @@
+"""Multi-scale inference: per-chip detection, pruning, aggregation.
+
+Rebuild of the reference Tester (/root/reference/lib/inference.py:26-370)
+for the TPU stack: the device plane is one jitted test-mode apply of the
+detector (proposals + head in-graph, fixed roi count); the host plane
+mirrors the reference post-processing exactly:
+
+- detect: apply class-agnostic deltas to the rois, clip to the *chip*
+  canvas (im_info), rescale to original image coords by 1/im_scale
+  (inference.py:100-139),
+- per-class score threshold (1e-3) and optional per-chip soft-NMS,
+- AutoFocus pruning: translate chip detections into image coords and
+  drop boxes hugging an interior chip border (check_valid, delta=10px,
+  inference.py:235-258,337-350),
+- aggregate: per image x class, concat scales with per-scale
+  VALID_RANGES area filters (area > lo^2, <= hi^2), soft-NMS / NMS via
+  the config-driven wrapper, MAX_PER_IMAGE cap (inference.py:152-230).
+
+all_boxes layout matches the reference: [class][image][chip] before
+aggregation, [class][image] -> [N,5] after.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sniper_tpu.ops.boxes import bbox_pred, clip_boxes
+from sniper_tpu.ops.nms import NMSWrapper
+
+
+def check_valid(det, chip, im_width, im_height, delta=10.0):
+    """Drop detections touching an interior chip border (AutoFocus)."""
+    dx1, dy1, dx2, dy2 = det[0], det[1], det[2], det[3]
+    cx1, cy1, cx2, cy2 = chip[0], chip[1], chip[2], chip[3]
+    if cx1 >= 0.5 and abs(dx1 - cx1) < delta:
+        return False
+    if cy1 >= 0.5 and abs(dy1 - cy1) < delta:
+        return False
+    if cx2 < im_width - 0.5 and abs(dx2 - cx2) < delta:
+        return False
+    if cy2 < im_height - 0.5 and abs(dy2 - cy2) < delta:
+        return False
+    return True
+
+
+class Tester:
+    """Host-side detection orchestrator around a jitted detector apply.
+
+    ``forward_fn(data, im_info) -> dict`` must return the detector's
+    test-mode outputs (rois [B,N,5], cls_prob [B,N,C], bbox_pred
+    [B,N,4] std-denormalized, roi_valid [B,N], optional focus_prob).
+    """
+
+    def __init__(self, forward_fn, cfg, num_classes: int):
+        self.forward_fn = forward_fn
+        self.cfg = cfg
+        self.num_classes = num_classes
+        self.nms = NMSWrapper(cfg.TEST.NMS, cfg.TEST.NMS_SIGMA)
+
+    def detect(self, data, im_info, im_scales):
+        """One padded batch -> per-image (scores [N,C], boxes [N,4]) in
+        original image coordinates, plus focus maps if present."""
+        out = self.forward_fn(data, im_info)
+        rois = np.asarray(out["rois"])
+        cls_prob = np.asarray(out["cls_prob"])
+        deltas = np.asarray(out["bbox_pred"])
+        valid = np.asarray(out["roi_valid"])
+        maps = np.asarray(out["focus_prob"]) if "focus_prob" in out else None
+
+        scores_list, boxes_list, maps_list = [], [], []
+        for i in range(rois.shape[0]):
+            boxes = bbox_pred(rois[i, :, 1:], deltas[i])
+            boxes = clip_boxes(boxes, im_info[i][:2])
+            boxes = boxes / im_scales[i]
+            scores = np.where(valid[i][:, None], cls_prob[i], 0.0)
+            scores_list.append(scores)
+            boxes_list.append(boxes)
+            if maps is not None:
+                # crop the map to the chip's actual extent at stride 16
+                fh = int(np.ceil(im_info[i][0] / 16.0))
+                fw = int(np.ceil(im_info[i][1] / 16.0))
+                maps_list.append(maps[i][:fh, :fw])
+        return scores_list, boxes_list, maps_list
+
+    def get_detections(
+        self, batches, roidb, cls_thresh=1e-3, per_chip_nms=False,
+        do_pruning=False, autofocus=False,
+    ):
+        """Run detection over an iterable of batches.
+
+        ``batches`` yields dicts with data [B,H,W,3], im_info [B,3],
+        im_scales [B], im_ids [B], chip_ids [B], valid [B] (padding
+        mask for partial batches). Returns (all_boxes, all_maps) in the
+        reference layout.
+        """
+        n_images = len(roidb)
+        n_chips = [len(r["inference_crops"]) for r in roidb]
+        all_boxes = [
+            [[np.zeros((0, 5), np.float32) for _ in range(n_chips[i])]
+             for i in range(n_images)]
+            for _ in range(self.num_classes)
+        ]
+        all_maps = [[None] * n_chips[i] for i in range(n_images)]
+
+        for batch in batches:
+            scores, boxes, maps = self.detect(
+                batch["data"], batch["im_info"], batch["im_scales"]
+            )
+            for i in range(len(scores)):
+                if not batch["valid"][i]:
+                    continue
+                im_id = int(batch["im_ids"][i])
+                chip_id = int(batch["chip_ids"][i])
+                if autofocus and maps:
+                    all_maps[im_id][chip_id] = maps[i]
+                for j in range(1, self.num_classes):
+                    inds = np.where(scores[i][:, j] > cls_thresh)[0]
+                    dets = np.hstack(
+                        [boxes[i][inds, :4], scores[i][inds, j, None]]
+                    ).astype(np.float32)
+                    if per_chip_nms:
+                        dets = self.nms(dets) if dets.shape[0] else dets
+                    all_boxes[j][im_id][chip_id] = dets
+
+                if do_pruning:
+                    chip = roidb[im_id]["inference_crops"][chip_id]
+                    dx, dy = chip[0], chip[1]
+                    for j in range(1, self.num_classes):
+                        d = all_boxes[j][im_id][chip_id]
+                        if d.shape[0] == 0:
+                            continue
+                        d = d.copy()
+                        d[:, [0, 2]] += dx
+                        d[:, [1, 3]] += dy
+                        keep = [
+                            k for k in range(d.shape[0])
+                            if check_valid(
+                                d[k], chip, roidb[im_id]["width"],
+                                roidb[im_id]["height"],
+                            )
+                        ]
+                        all_boxes[j][im_id][chip_id] = (
+                            d[keep] if keep else np.zeros((0, 5), np.float32)
+                        )
+        return all_boxes, all_maps
+
+    def aggregate(self, scale_cls_dets, num_images: int):
+        """Merge per-scale detections with VALID_RANGES + NMS + cap.
+
+        scale_cls_dets: list over scales of all_boxes ([cls][img][chip]).
+        Returns all_boxes[cls][img] -> [N,5].
+        """
+        valid_ranges = self.cfg.TEST.VALID_RANGES
+        assert len(scale_cls_dets) == len(valid_ranges), (
+            "a valid range per test scale is required"
+        )
+        all_boxes = [
+            [np.zeros((0, 5), np.float32) for _ in range(num_images)]
+            for _ in range(self.num_classes)
+        ]
+        for i in range(num_images):
+            for j in range(1, self.num_classes):
+                agg = []
+                for dets_s, vr in zip(scale_cls_dets, valid_ranges):
+                    for cls_dets in dets_s[j][i]:
+                        if cls_dets is None or len(cls_dets) == 0:
+                            continue
+                        d1 = cls_dets[:, 2] - cls_dets[:, 0]
+                        d2 = cls_dets[:, 3] - cls_dets[:, 1]
+                        areas = d1 * d2
+                        ok = np.ones(len(areas), bool)
+                        if vr[0] > 0:
+                            ok &= areas > vr[0] * vr[0]
+                        if vr[1] > 0:
+                            ok &= areas <= vr[1] * vr[1]
+                        if ok.any():
+                            agg.append(cls_dets[ok])
+                merged = (
+                    np.vstack(agg).astype(np.float32)
+                    if agg else np.zeros((0, 5), np.float32)
+                )
+                all_boxes[j][i] = self.nms(merged) if merged.shape[0] else merged
+
+            max_per_image = self.cfg.TEST.MAX_PER_IMAGE
+            if max_per_image > 0:
+                image_scores = np.hstack(
+                    [all_boxes[j][i][:, -1] for j in range(1, self.num_classes)]
+                )
+                if len(image_scores) > max_per_image:
+                    thresh = np.sort(image_scores)[-max_per_image]
+                    for j in range(1, self.num_classes):
+                        keep = all_boxes[j][i][:, -1] >= thresh
+                        all_boxes[j][i] = all_boxes[j][i][keep]
+        return all_boxes
+
+    def extract_proposals(self, batches, roidb):
+        """RPN-proposal extraction mode (reference :372-408): per image,
+        top-N proposals rescaled to original coordinates + scores."""
+        n_images = len(roidb)
+        boxes_out = [np.zeros((0, 4), np.float32) for _ in range(n_images)]
+        scores_out = [np.zeros((0, 1), np.float32) for _ in range(n_images)]
+        for batch in batches:
+            out = self.forward_fn(batch["data"], batch["im_info"])
+            rois = np.asarray(out["rois"])
+            scores = np.asarray(out["roi_scores"])
+            valid = np.asarray(out["roi_valid"])
+            for i in range(rois.shape[0]):
+                if not batch["valid"][i]:
+                    continue
+                im_id = int(batch["im_ids"][i])
+                keep = valid[i]
+                boxes_out[im_id] = (
+                    rois[i, keep, 1:] / batch["im_scales"][i]
+                ).astype(np.float32)
+                scores_out[im_id] = scores[i, keep, None].astype(np.float32)
+        return boxes_out, scores_out

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from sniper_tpu.models.heads import AutoFocusHead, RCNNHead, RPNHead
 from sniper_tpu.models.resnet import ResNetTrunk
 from sniper_tpu.ops.proposals import (
-    make_anchors_ahw,
+    anchors_ahw_on_device,
     multi_proposal,
     multi_proposal_target,
 )
@@ -55,9 +55,8 @@ class SNIPERDetector(nn.Module):
     bbox_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
 
     def _anchors(self, fh: int, fw: int):
-        return jnp.asarray(
-            make_anchors_ahw(fh, fw, self.feat_stride, self.anchor_ratios,
-                             self.anchor_scales)
+        return anchors_ahw_on_device(
+            fh, fw, self.feat_stride, self.anchor_ratios, self.anchor_scales
         )
 
     @nn.compact

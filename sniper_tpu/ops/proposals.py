@@ -56,6 +56,27 @@ def make_anchors_ahw(feat_h: int, feat_w: int, feat_stride: int,
     )
 
 
+def anchors_ahw_on_device(feat_h: int, feat_w: int, feat_stride: int,
+                          ratios, scales) -> jax.Array:
+    """Same grid as make_anchors_ahw, built in-graph from iota.
+
+    Baking the dense grid as an HLO constant costs A*H*W*4 floats per
+    compiled program (multi-MB at test canvases — it overflowed the
+    remote-compile transport); only the tiny [A,4] base anchor table is
+    a constant here, the shifts come from broadcasted_iota.
+    """
+    base = jnp.asarray(
+        generate_anchors(feat_stride, list(ratios), list(scales)),
+        jnp.float32,
+    )  # [A,4]
+    A = base.shape[0]
+    sy = jax.lax.broadcasted_iota(jnp.float32, (feat_h, feat_w), 0) * feat_stride
+    sx = jax.lax.broadcasted_iota(jnp.float32, (feat_h, feat_w), 1) * feat_stride
+    shifts = jnp.stack([sx, sy, sx, sy], axis=-1)  # [H,W,4]
+    grid = base[:, None, None, :] + shifts[None]  # [A,H,W,4]
+    return grid.reshape(A * feat_h * feat_w, 4)
+
+
 def _decode_single(fg_probs, deltas, im_info, anchors, min_size):
     """Decode one image's RPN output into scored proposals [N,4],[N]."""
     A4 = deltas.shape[0]

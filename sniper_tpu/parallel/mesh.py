@@ -1,0 +1,40 @@
+"""Device mesh + sharding helpers.
+
+SNIPER's parallelism is data parallelism (the reference's only strategy:
+kvstore-device gradient aggregation over 8 GPUs, main_train.py:89-94,144).
+The TPU-native equivalent: a 1-D ``jax.sharding.Mesh`` over the 'data'
+axis; the train step runs under ``shard_map`` with per-device BatchNorm
+(reference semantics) and explicit ``psum``/``pmean`` gradient reduction
+riding ICI. Params are replicated.
+
+A CNN detector has no sequence/expert axes, so TP/PP/SP/EP meshes are
+deliberately absent (SURVEY.md §2.10); the mesh helper still accepts an
+arbitrary device count so multi-host DP composes later via
+jax.distributed.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = -1, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host batch dict on the mesh, split along dim 0."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

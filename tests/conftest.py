@@ -6,12 +6,19 @@ virtual devices so multi-chip sharding paths are exercised for real.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The container's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, freezing the config before this file runs — update
+# the live config too (must happen before any backend is initialized).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,133 @@
+"""ChipLoader end-to-end on synthetic images (no dataset needed)."""
+
+import numpy as np
+
+from sniper_tpu.config import default_config
+from sniper_tpu.data.loader import ChipLoader, Prefetcher, process_chip_image
+
+
+def synth_image_loader(path):
+    """Deterministic fake image keyed by the 'path' string."""
+    seed = abs(hash(path)) % (2**31)
+    rng = np.random.RandomState(seed)
+    h, w = (int(s) for s in path.split(":")[1].split("x"))
+    return rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+
+
+def make_roidb(rng, n_images=4):
+    roidb = []
+    for i in range(n_images):
+        w, h = 800, 600
+        n_gt = 6
+        x1 = rng.uniform(0, w - 300, n_gt)
+        y1 = rng.uniform(0, h - 300, n_gt)
+        s = rng.uniform(20, 250, n_gt)
+        boxes = np.stack([x1, y1, np.minimum(x1 + s, w - 1),
+                          np.minimum(y1 + s, h - 1)], 1).astype(np.float32)
+        roidb.append({
+            "image": f"img{i}:{h}x{w}",
+            "width": w,
+            "height": h,
+            "boxes": boxes,
+            "max_overlaps": np.ones(n_gt),
+            "max_classes": rng.randint(1, 5, n_gt),
+            "flipped": False,
+        })
+    return roidb
+
+
+def make_cfg():
+    cfg = default_config()
+    cfg.TRAIN.SCALES = [(1400, 2000), (800, 1280), (-1, 512)]
+    cfg.TRAIN.VALID_RANGES = [(-1, 80), (32, 150), (120, -1)]
+    cfg.TRAIN.USE_NEG_CHIPS = False
+    cfg.network.ANCHOR_SCALES = (2, 4, 7)
+    cfg.network.ANCHOR_RATIOS = (0.5, 1, 2)
+    cfg.network.NUM_ANCHORS = 9
+    cfg.network.PIXEL_MEANS = np.array([103.9, 116.8, 123.7])
+    return cfg
+
+
+def test_loader_epoch_and_batches(rng):
+    cfg = make_cfg()
+    roidb = make_roidb(rng)
+    loader = ChipLoader(roidb, cfg, batch_size=2, image_loader=synth_image_loader)
+    n_chips = loader.reset()
+    assert n_chips > 0
+    assert loader.size % 2 == 0
+
+    batches = list(iter(loader))
+    assert len(batches) == len(loader)
+    b = batches[0]
+    A = 9
+    assert b["data"].shape == (2, 512, 512, 3)
+    assert b["im_info"].shape == (2, 3)
+    assert b["valid_ranges"].shape == (2, 2)
+    assert b["label"].shape == (2, A * 32 * 32)
+    assert b["bbox_target"].shape == (2, 4 * A, 32, 32)
+    assert b["gt_boxes"].shape == (2, 100, 5)
+    # labels are only {-1, 0, 1}
+    assert set(np.unique(b["label"])).issubset({-1.0, 0.0, 1.0})
+    # at least some gt boxes present somewhere in the epoch
+    assert any((bb["gt_boxes"][:, :, 4] >= 0).any() for bb in batches)
+
+
+def test_loader_valid_range_scaling(rng):
+    cfg = make_cfg()
+    roidb = make_roidb(rng)
+    loader = ChipLoader(roidb, cfg, batch_size=2, image_loader=synth_image_loader)
+    loader.reset()
+    b = next(iter(loader))
+    # ranges are in scaled chip pixels: within [0, 512] bounds sanity
+    assert (b["valid_ranges"][:, 0] >= 0).all()
+    im_scales = b["im_info"][:, 2]
+    assert (im_scales > 0).all()
+
+
+def test_loader_neg_chips(rng):
+    cfg = make_cfg()
+    cfg.TRAIN.USE_NEG_CHIPS = True
+    roidb = make_roidb(rng, n_images=2)
+    # add many stray proposals to force neg chips
+    for r in roidb:
+        n = 300
+        px = rng.uniform(0, r["width"] - 60, n)
+        py = rng.uniform(0, r["height"] - 60, n)
+        props = np.stack([px, py, px + rng.uniform(10, 50, n),
+                          py + rng.uniform(10, 50, n)], 1).astype(np.float32)
+        r["boxes"] = np.vstack([r["boxes"], props])
+        r["max_overlaps"] = np.concatenate(
+            [r["max_overlaps"], np.full(n, 0.2)])
+        r["max_classes"] = np.concatenate(
+            [r["max_classes"], np.zeros(n, int)])
+    loader = ChipLoader(roidb, cfg, batch_size=2, image_loader=synth_image_loader)
+    n_with_neg = loader.reset()
+    cfg.TRAIN.USE_NEG_CHIPS = False
+    loader2 = ChipLoader(roidb, cfg, batch_size=2, image_loader=synth_image_loader)
+    n_without = loader2.reset()
+    assert n_with_neg > n_without, "neg chips must add to the chip count"
+
+
+def test_process_chip_image_padding():
+    im = np.full((100, 200, 3), 100, np.uint8)
+    out = process_chip_image(im, [0, 0, 200, 100], 1.0, 512, np.array([1.0, 2, 3]))
+    assert out.shape == (512, 512, 3)
+    # RGB conversion: out channel 0 = BGR channel 2 - mean[2]
+    assert out[0, 0, 0] == 100 - 3
+    assert out[0, 0, 2] == 100 - 1
+    # padding is zero
+    assert (out[100:, :, :] == 0).all() and (out[:, 200:, :] == 0).all()
+
+
+def test_process_chip_image_upscale():
+    im = np.zeros((100, 100, 3), np.uint8)
+    out = process_chip_image(im, [0, 0, 100, 100], 2.7, 512, np.zeros(3))
+    assert out.shape == (512, 512, 3)
+    # 100*2.7 = 270 pixels of content
+    assert (out[:270, :270] == 0).all()
+
+
+def test_prefetcher_order(rng):
+    items = [{"x": np.array([i])} for i in range(7)]
+    got = list(Prefetcher(items))
+    assert [int(g["x"][0]) for g in got] == list(range(7))

@@ -180,3 +180,10 @@ def test_multi_proposal_target_fg_fraction_cap(rng):
     )
     labels = np.asarray(out.labels)[0]
     assert (labels > 0).sum() <= round(16 * 0.25)
+
+
+def test_anchors_on_device_parity():
+    from sniper_tpu.ops.proposals import anchors_ahw_on_device
+
+    dev = np.asarray(anchors_ahw_on_device(FH, FW, STRIDE, RATIOS, SCALES))
+    np.testing.assert_allclose(dev, ANCHORS, atol=1e-4)

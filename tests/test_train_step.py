@@ -1,0 +1,138 @@
+"""Data-parallel train step on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sniper_tpu.config import default_config
+from sniper_tpu.models.detector import SNIPERDetector
+from sniper_tpu.parallel.mesh import make_mesh, shard_batch
+from sniper_tpu.train.optimizer import fixed_param_mask, make_optimizer
+from sniper_tpu.train.trainer import create_train_state, make_train_step
+
+B_PER_DEV = 1
+H = W = 64
+A = 9
+
+
+def make_batch(n_dev):
+    b = n_dev * B_PER_DEV
+    rng = np.random.RandomState(0)
+    fh = fw = H // 16
+    gt = np.full((b, 10, 5), -1.0, np.float32)
+    gt[:, 0] = [8, 8, 40, 40, 2]
+    return {
+        "data": rng.randn(b, H, W, 3).astype(np.float32),
+        "im_info": np.tile([[H, W, 1.0]], (b, 1)).astype(np.float32),
+        "gt_boxes": gt,
+        "valid_ranges": np.tile([[0.0, 512.0]], (b, 1)).astype(np.float32),
+        "label": rng.choice([-1.0, 0.0, 1.0], (b, A * fh * fw), p=[0.8, 0.15, 0.05]).astype(np.float32),
+        "bbox_target": (rng.randn(b, 4 * A, fh, fw) * 0.1).astype(np.float32),
+        "bbox_weight": np.zeros((b, 4 * A, fh, fw), np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh()
+    cfg = default_config()
+    cfg.TRAIN.lr = 0.01
+    cfg.TRAIN.warmup = True
+    cfg.TRAIN.warmup_lr = 0.001
+    cfg.TRAIN.warmup_step = 10
+    cfg.TRAIN.lr_step = "1.0"
+    cfg.network.FIXED_PARAMS = ["conv0", "bn0", "stage1", "bn_data"]
+    model = SNIPERDetector(
+        num_classes=5, num_anchors=A, anchor_scales=(2, 4, 7),
+        anchor_ratios=(0.5, 1, 2), units=(1, 1, 1, 1),
+        pre_nms_top_n=200, post_nms_top_n=16, num_rois=16, dtype=jnp.float32,
+    )
+    batch = make_batch(8)
+    tx_probe = None
+    # params needed for the mask -> init once with a dummy tx
+    import optax
+
+    state0 = create_train_state(model, cfg, batch, optax.sgd(0.1))
+    tx, sched = make_optimizer(cfg, epoch_size=100, params=state0.params)
+    state = state0.replace(opt_state=tx.init(state0.params))
+    step = make_train_step(model, tx, mesh, B_PER_DEV)
+
+    def fresh_state():
+        # the step donates its input state; hand each test its own copy
+        return jax.tree_util.tree_map(jnp.copy, state)
+
+    return mesh, model, fresh_state, step, batch, cfg
+
+
+def test_train_step_runs_and_updates(setup):
+    mesh, model, fresh_state, step, batch, cfg = setup
+    state = fresh_state()
+    sharded = shard_batch(mesh, batch)
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.params)
+    state1, metrics = step(state, sharded, jax.random.PRNGKey(0))
+    assert int(state1.step) == 1
+    for k in ("loss", "rpn_cls_loss", "rcnn_cls_loss", "rcnn_acc"):
+        assert np.isfinite(float(metrics[k])), k
+    # trainable params moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), state1.params, p0
+    )
+    total_move = sum(jax.tree_util.tree_leaves(moved))
+    assert total_move > 0
+
+    # frozen params did not move
+    def collect(tree, pred, path=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(collect(v, pred, path + (k,)))
+            elif pred(path + (k,)):
+                out["/".join(path + (k,))] = v
+        return out
+
+    frozen_moved = collect(
+        moved,
+        lambda p: any(
+            seg.startswith(("conv0", "bn0", "stage1", "bn_data")) for seg in p
+        ),
+    )
+    assert frozen_moved, "expected frozen param entries to exist"
+    assert all(v == 0.0 for v in frozen_moved.values()), frozen_moved
+
+
+def test_train_step_two_steps_loss_finite(setup):
+    mesh, model, fresh_state, step, batch, cfg = setup
+    state = fresh_state()
+    sharded = shard_batch(mesh, batch)
+    s, m1 = step(state, sharded, jax.random.PRNGKey(1))
+    s, m2 = step(s, shard_batch(mesh, batch), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["loss"]))
+    assert int(s.step) == 2
+
+
+def test_fixed_param_mask_prefixes():
+    params = {
+        "trunk": {
+            "conv0": {"kernel": 1}, "bn0": {"scale": 1},
+            "stage1_unit1": {"conv1": {"kernel": 1}},
+            "stage2_unit1": {"conv1": {"kernel": 1}},
+        },
+        "rpn": {"rpn_conv_3x3": {"kernel": 1}},
+    }
+    mask = fixed_param_mask(params, ["conv0", "bn0", "stage1"])
+    assert mask["trunk"]["conv0"]["kernel"] is False
+    assert mask["trunk"]["stage1_unit1"]["conv1"]["kernel"] is False
+    assert mask["trunk"]["stage2_unit1"]["conv1"]["kernel"] is True
+    assert mask["rpn"]["rpn_conv_3x3"]["kernel"] is True
+
+
+def test_lr_schedule():
+    from sniper_tpu.train.optimizer import warmup_multistep
+
+    sched = warmup_multistep(0.015, 0.0005, 10, [100], 0.1)
+    assert float(sched(0)) == pytest.approx(0.0005)
+    assert float(sched(5)) == pytest.approx((0.0005 + 0.015) / 2, rel=0.1)
+    assert float(sched(50)) == pytest.approx(0.015)
+    assert float(sched(150)) == pytest.approx(0.0015)
