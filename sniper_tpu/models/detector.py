@@ -38,7 +38,10 @@ class SNIPERDetector(nn.Module):
     anchor_ratios: Sequence[float] = (0.5, 1, 2)
     anchor_scales: Sequence[float] = (2, 4, 7, 10, 13, 16, 24)
     feat_stride: int = 16
+    trunk_type: str = "resnet"  # 'resnet' | 'resnext' | 'mobilenetv2'
     units: Sequence[int] = (3, 4, 23, 3)
+    head_fc_dim: int = 1024
+    num_trunk_groups: int = 1  # >1 -> ResNeXt grouped convs
     autofocus: bool = False
     dtype: Any = jnp.bfloat16
     # proposal op params (TRAIN.* / TEST.* RPN keys)
@@ -65,12 +68,30 @@ class SNIPERDetector(nn.Module):
         """data [B,H,W,3] (mean-subtracted), im_info [B,3] (h, w, scale);
         train also needs gt_boxes [B,G,5], valid_ranges [B,2] and a
         'sampling' PRNG stream."""
-        c4, c5 = ResNetTrunk(
-            units=self.units, dtype=self.dtype, name="trunk"
-        )(data, train=train)
-        feat = jnp.concatenate(
-            [c4.astype(jnp.float32), c5.astype(jnp.float32)], axis=-1
-        )
+        if self.trunk_type == "mobilenetv2":
+            from sniper_tpu.models.mobilenetv2 import MobileNetV2Trunk
+
+            feat, _ = MobileNetV2Trunk(dtype=self.dtype, name="trunk")(
+                data, train=train
+            )
+            feat = feat.astype(jnp.float32)
+        elif self.trunk_type == "resnext":
+            from sniper_tpu.models.resnext import ResNeXtTrunk
+
+            c4, c5 = ResNeXtTrunk(
+                units=self.units, num_groups=self.num_trunk_groups,
+                dtype=self.dtype, name="trunk",
+            )(data, train=train)
+            feat = jnp.concatenate(
+                [c4.astype(jnp.float32), c5.astype(jnp.float32)], axis=-1
+            )
+        else:
+            c4, c5 = ResNetTrunk(
+                units=self.units, dtype=self.dtype, name="trunk",
+            )(data, train=train)
+            feat = jnp.concatenate(
+                [c4.astype(jnp.float32), c5.astype(jnp.float32)], axis=-1
+            )
 
         rpn_cls_logits, rpn_bbox = RPNHead(self.num_anchors, name="rpn")(feat)
         # objectness: softmax over the {bg, fg} axis -> fg prob [B,A,H,W]
@@ -88,7 +109,10 @@ class SNIPERDetector(nn.Module):
         b, fh, fw = feat.shape[0], feat.shape[1], feat.shape[2]
         anchors = self._anchors(fh, fw)
 
-        head = RCNNHead(self.num_classes, name="rcnn")
+        head = RCNNHead(
+            self.num_classes, spatial_scale=1.0 / self.feat_stride,
+            fc_dim=self.head_fc_dim, name="rcnn",
+        )
 
         if train:
             key = self.make_rng("sampling")

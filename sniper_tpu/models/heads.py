@@ -57,6 +57,7 @@ class RCNNHead(nn.Module):
     pooled_size: int = 7
     spatial_scale: float = 0.0625
     offset_lr_mult: float = 0.01
+    fc_dim: int = 1024  # 512 for the MobileNetV2 variant
 
     @nn.compact
     def __call__(self, roi_feat_map, rois):
@@ -78,8 +79,10 @@ class RCNNHead(nn.Module):
             spatial_scale=self.spatial_scale,
         )
         h = pooled.reshape(rois.shape[0], -1)
-        h = nn.relu(nn.Dense(1024, kernel_init=init_n01, name="fc_new_1")(h))
-        h = nn.relu(nn.Dense(1024, kernel_init=init_n01, name="fc_new_2")(h))
+        h = nn.relu(nn.Dense(self.fc_dim, kernel_init=init_n01,
+                             name="fc_new_1")(h))
+        h = nn.relu(nn.Dense(self.fc_dim, kernel_init=init_n01,
+                             name="fc_new_2")(h))
         cls_score = nn.Dense(self.num_classes, kernel_init=init_n01,
                              name="cls_score")(h)
         bbox_pred = nn.Dense(4, kernel_init=init_n01, name="bbox_pred")(h)

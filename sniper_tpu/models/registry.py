@@ -32,10 +32,36 @@ def _resnet(units):
     return build
 
 
+def _resnext(units):
+    base = _resnet(units)
+
+    def build(cfg, **overrides):
+        overrides.setdefault("trunk_type", "resnext")
+        overrides.setdefault("num_trunk_groups", 64)
+        return base(cfg, **overrides)
+
+    return build
+
+
+def _mobilenetv2():
+    base = _resnet(())
+
+    def build(cfg, **overrides):
+        overrides.setdefault("trunk_type", "mobilenetv2")
+        overrides.setdefault("head_fc_dim", 512)
+        # feat_stride comes from cfg.network.RPN_FEAT_STRIDE (32 in the
+        # reference mobilenet config)
+        return base(cfg, **overrides)
+
+    return build
+
+
 _REGISTRY = {
     "resnet_mx_101_e2e": _resnet((3, 4, 23, 3)),
     "resnet_mx_101_e2e_mask": _resnet((3, 4, 23, 3)),  # mask head: round 2
     "resnet_mx_50_e2e": _resnet((3, 4, 6, 3)),
+    "resnext_mx_101": _resnext((3, 4, 23, 3)),
+    "mobilenetv2_e2e": _mobilenetv2(),
 }
 
 

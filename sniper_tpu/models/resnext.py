@@ -1,0 +1,136 @@
+"""ResNeXt-101 trunk (64-group wide variant) with deformable C5.
+
+Rebuild of /root/reference/symbols/faster/resnext_mx_101.py:69-250:
+post-activation bottlenecks (conv -> BN -> relu) where all three convs
+run at the block's output width and the 3x3 is grouped (num_group=64);
+the shortcut is a conv+BN off the block input. C5 repeats the pattern
+with a dilated, grouped deformable 3x3 (4 deformable groups on top of
+the 64 conv groups). Stem and stage-1 BN frozen like the ResNet trunk.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sniper_tpu.ops.deform import deformable_conv
+
+BN_EPS = 2e-5
+
+
+class ResNeXtUnit(nn.Module):
+    filters: int
+    stride: int = 1
+    dim_match: bool = True
+    fix_bn: bool = False
+    num_groups: int = 64
+    deform: bool = False
+    bn_momentum: float = 0.95
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        use_ra = (not train) or self.fix_bn
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=use_ra, momentum=self.bn_momentum,
+                epsilon=BN_EPS, dtype=jnp.float32, name=name,
+            )
+
+        f = self.filters
+        h = nn.Conv(f, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x.astype(self.dtype))
+        h = nn.relu(bn("bn1")(h)).astype(self.dtype)
+        if self.deform:
+            offsets = nn.Conv(
+                4 * 2 * 9, (3, 3), padding=[(2, 2), (2, 2)],
+                kernel_dilation=(2, 2), dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, name="offset",
+            )(h.astype(jnp.float32))
+            kernel = self.param(
+                "conv2_kernel",
+                nn.initializers.variance_scaling(2.0, "fan_out",
+                                                 "truncated_normal"),
+                (3, 3, f // self.num_groups, f), jnp.float32,
+            )
+            h = deformable_conv(
+                h, offsets, kernel.astype(self.dtype), num_groups=4,
+                dilation=2, conv_groups=self.num_groups,
+            ).astype(self.dtype)
+        else:
+            h = nn.Conv(
+                f, (3, 3), strides=(self.stride, self.stride),
+                padding=[(1, 1), (1, 1)],
+                feature_group_count=self.num_groups, use_bias=False,
+                dtype=self.dtype, name="conv2",
+            )(h)
+        h = nn.relu(bn("bn2")(h)).astype(self.dtype)
+        h = nn.Conv(f, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(h)
+        h = bn("bn3")(h)
+        if self.dim_match:
+            sc = x.astype(jnp.float32)
+        else:
+            sc = nn.Conv(
+                f, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="sc",
+            )(x.astype(self.dtype))
+            sc = bn("sc_bn")(sc)
+        return nn.relu(h + sc).astype(self.dtype)
+
+
+class ResNeXtTrunk(nn.Module):
+    units: Sequence[int] = (3, 4, 23, 3)
+    filters: Sequence[int] = (64, 256, 512, 1024, 2048)
+    num_groups: int = 64
+    bn_momentum: float = 0.95
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = nn.Conv(
+            self.filters[0], (7, 7), strides=(2, 2),
+            padding=[(3, 3), (3, 3)], use_bias=False, dtype=jnp.float32,
+            name="conv0",
+        )(x.astype(jnp.float32))
+        h = h.astype(self.dtype)
+        h = nn.BatchNorm(
+            use_running_average=True, epsilon=BN_EPS, dtype=jnp.float32,
+            name="bn0",
+        )(h).astype(self.dtype)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        for i in range(3):
+            fix = i == 0
+            h = ResNeXtUnit(
+                self.filters[i + 1], stride=1 if i == 0 else 2,
+                dim_match=False, fix_bn=fix, num_groups=self.num_groups,
+                bn_momentum=self.bn_momentum, dtype=self.dtype,
+                name=f"stage{i + 1}_unit1",
+            )(h, train)
+            for j in range(self.units[i] - 1):
+                h = ResNeXtUnit(
+                    self.filters[i + 1], dim_match=True, fix_bn=fix,
+                    num_groups=self.num_groups,
+                    bn_momentum=self.bn_momentum, dtype=self.dtype,
+                    name=f"stage{i + 1}_unit{j + 2}",
+                )(h, train)
+        c4 = h
+
+        h = ResNeXtUnit(
+            self.filters[4], stride=1, dim_match=False, deform=True,
+            num_groups=self.num_groups, bn_momentum=self.bn_momentum,
+            dtype=self.dtype, name="stage4_unit1",
+        )(c4, train)
+        for j in range(self.units[3] - 1):
+            h = ResNeXtUnit(
+                self.filters[4], dim_match=True, deform=True,
+                num_groups=self.num_groups, bn_momentum=self.bn_momentum,
+                dtype=self.dtype, name=f"stage4_unit{j + 2}",
+            )(h, train)
+        return c4, h

@@ -61,11 +61,14 @@ def deformable_conv(
     num_groups: int = 4,
     kernel_size: int = 3,
     dilation: int = 2,
+    conv_groups: int = 1,
 ) -> jax.Array:
     """DCNv1 convolution, stride 1, 'same' padding.
 
     x [B,H,W,Cin], offsets [B,H,W,G*K*K*2] (pairs ordered (dy, dx) per
-    tap, group-major like the CUDA op), kernel [K,K,Cin,Cout].
+    tap, group-major like the CUDA op; G = num_groups = deformable
+    groups), kernel [K,K,Cin/conv_groups,Cout]. conv_groups > 1 gives
+    grouped convolution over the deformed taps (the ResNeXt variant).
     Returns [B,H,W,Cout] (accumulated in fp32).
     """
     B, H, W, Cin = x.shape
@@ -98,14 +101,31 @@ def deformable_conv(
         return jnp.stack(cols, axis=2)  # [H,W,K*K,Cin]
 
     col = jax.vmap(one_image)(x, off)  # [B,H,W,K*K,Cin]
-    w = kernel.reshape(K * K * Cin, -1)
-    out = jnp.einsum(
-        "bhwc,co->bhwo",
-        col.reshape(B, H, W, K * K * Cin),
-        w,
-        preferred_element_type=jnp.float32,
+    if conv_groups == 1:
+        w = kernel.reshape(K * K * Cin, -1)
+        return jnp.einsum(
+            "bhwc,co->bhwo",
+            col.reshape(B, H, W, K * K * Cin),
+            w,
+            preferred_element_type=jnp.float32,
+        )
+    # grouped: kernel [K,K,Cin/CG,Cout]; tap-channel blocks map to groups
+    cg_in = Cin // conv_groups
+    cout = kernel.shape[-1]
+    cg_out = cout // conv_groups
+    # [B,H,W,K*K,CG,cg_in] -> group-major flattened taps
+    col_g = col.reshape(B, H, W, K * K, conv_groups, cg_in)
+    col_g = col_g.transpose(0, 1, 2, 4, 3, 5).reshape(
+        B, H, W, conv_groups, K * K * cg_in
     )
-    return out
+    w_g = kernel.reshape(K, K, cg_in, conv_groups, cg_out)
+    w_g = w_g.transpose(3, 0, 1, 2, 4).reshape(
+        conv_groups, K * K * cg_in, cg_out
+    )
+    out = jnp.einsum(
+        "bhwgi,gio->bhwgo", col_g, w_g, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, H, W, cout)
 
 
 def deformable_psroi_pool(
