@@ -1,0 +1,180 @@
+"""SNIPER-TPU inference / evaluation CLI.
+
+Counterpart of the reference main_test.py + imdb_detection_wrapper /
+imdb_proposal_extraction_wrapper (inference.py:439-609): multi-scale
+detection over TEST.SCALES (AutoFocus chips when TEST.AUTO_FOCUS),
+aggregation with per-scale valid ranges + soft-NMS, dataset evaluation;
+or RPN proposal extraction mode (TEST.EXTRACT_PROPOSALS).
+
+  python main_test.py --cfg configs/sniper_res101_e2e.yml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a SNIPER-TPU detector")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--set", dest="overrides", nargs="*", default=[])
+    return p.parse_args()
+
+
+def build_test_dataset(cfg):
+    name = cfg.dataset.dataset
+    if name == "coco":
+        from sniper_tpu.data.coco import COCODataset
+
+        return COCODataset(
+            str(cfg.dataset.test_image_set), cfg.dataset.root_path,
+            cfg.dataset.dataset_path,
+        )
+    if name == "PascalVOC":
+        from sniper_tpu.data.pascal_voc import PascalVOC
+
+        return PascalVOC(
+            str(cfg.dataset.test_image_set), cfg.dataset.root_path,
+            cfg.dataset.dataset_path,
+        )
+    raise KeyError(f"unknown dataset {name!r}")
+
+
+def make_forward(model, variables):
+    @jax.jit
+    def fn(variables, data, im_info):
+        return model.apply(variables, data, im_info, train=False)
+
+    return lambda data, im_info: fn(variables, data, im_info)
+
+
+def run_detection(cfg, model, variables, roidb, dataset, out_dir):
+    from sniper_tpu.chips.autofocus import add_chips
+    from sniper_tpu.data.test_loader import TestChipIterator, init_inference_crops
+    from sniper_tpu.infer.tester import Tester
+
+    init_inference_crops(roidb)
+    forward = make_forward(model, variables)
+    tester = Tester(forward, cfg, dataset.num_classes)
+
+    n_scales = len(cfg.TEST.SCALES)
+    scale_dets = []
+    for s in range(n_scales):
+        batches = TestChipIterator(roidb, cfg, s, cfg.TEST.BATCH_IMAGES[s]
+                                   if isinstance(cfg.TEST.BATCH_IMAGES, (list, tuple))
+                                   else cfg.TEST.BATCH_IMAGES)
+        autofocus = bool(cfg.TEST.AUTO_FOCUS) and s < n_scales - 1
+        do_pruning = (
+            cfg.TEST.DO_PRUNING[s]
+            if isinstance(cfg.TEST.DO_PRUNING, (list, tuple))
+            else bool(cfg.TEST.DO_PRUNING)
+        )
+        all_boxes, all_maps = tester.get_detections(
+            iter(batches), roidb, do_pruning=do_pruning, autofocus=autofocus,
+        )
+        scale_dets.append(all_boxes)
+        print(f"scale {s}: done")
+        if autofocus:
+            add_chips(roidb, all_maps, s, cfg)
+        with open(os.path.join(out_dir, f"dets_scale{s}.pkl"), "wb") as f:
+            pickle.dump(all_boxes, f)
+
+    final = tester.aggregate(scale_dets, len(roidb))
+    return dataset.evaluate_detections(final, roidb)
+
+
+def run_proposal_extraction(cfg, model, variables, roidb, dataset, out_dir):
+    from sniper_tpu.data.test_loader import TestChipIterator, init_inference_crops
+    from sniper_tpu.infer.tester import Tester
+
+    init_inference_crops(roidb)
+    forward = make_forward(model, variables)
+    tester = Tester(forward, cfg, dataset.num_classes)
+    agg_boxes = None
+    for s in range(len(cfg.TEST.SCALES)):
+        batches = TestChipIterator(
+            roidb, cfg, s,
+            cfg.TEST.BATCH_IMAGES[s]
+            if isinstance(cfg.TEST.BATCH_IMAGES, (list, tuple))
+            else cfg.TEST.BATCH_IMAGES,
+        )
+        boxes, scores = tester.extract_proposals(iter(batches), roidb)
+        dets = [np.hstack([b, sc]) for b, sc in zip(boxes, scores)]
+        agg_boxes = dets if agg_boxes is None else [
+            np.vstack([a, d]) for a, d in zip(agg_boxes, dets)
+        ]
+    os.makedirs(cfg.TEST.PROPOSAL_SAVE_PATH, exist_ok=True)
+    out = os.path.join(cfg.TEST.PROPOSAL_SAVE_PATH,
+                       f"{dataset.name}_rpn.pkl")
+    with open(out, "wb") as f:
+        pickle.dump({"boxes": agg_boxes}, f)
+    print(f"saved proposals to {out}")
+
+
+def main():
+    import optax
+
+    from sniper_tpu.config import load_config
+    from sniper_tpu.config.defaults import config_name
+    from sniper_tpu.models.registry import get_model
+    from sniper_tpu.train.checkpoint import load_checkpoint
+    from sniper_tpu.train.optimizer import make_optimizer
+    from sniper_tpu.train.trainer import create_train_state
+    from sniper_tpu.utils.logger import create_logger
+
+    args = parse_args()
+    cfg = load_config(args.cfg, args.overrides)
+    name = config_name(args.cfg)
+    logger, out_dir = create_logger(cfg.output_path or "./output", name,
+                                    str(cfg.dataset.test_image_set))
+
+    dataset = build_test_dataset(cfg)
+    roidb = dataset.gt_roidb()
+
+    model = get_model(cfg)
+    # template init for checkpoint restore
+    import jax.numpy as jnp
+
+    data = jnp.zeros((1, 64, 64, 3))
+    im_info = jnp.asarray([[64.0, 64.0, 1.0]])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, data, im_info,
+                           train=False)
+    ckpt_dir = os.path.join(
+        cfg.output_path or "./output", name, str(cfg.dataset.image_set),
+        "checkpoints",
+    )
+    if os.path.isdir(ckpt_dir):
+        # rebuild the full TrainState template (orbax restores by
+        # structure), then take params + batch_stats for inference
+        from sniper_tpu.train.trainer import TrainState
+
+        tx, _ = make_optimizer(cfg, epoch_size=1000,
+                               params=variables["params"])
+        template = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
+        epoch = cfg.TEST.TEST_EPOCH or None
+        state = load_checkpoint(ckpt_dir, template, epoch)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        logger.info(f"restored checkpoint from {ckpt_dir}")
+    else:
+        logger.info("no checkpoint found; using random init")
+
+    if cfg.TEST.EXTRACT_PROPOSALS:
+        run_proposal_extraction(cfg, model, variables, roidb, dataset, out_dir)
+    else:
+        stats = run_detection(cfg, model, variables, roidb, dataset, out_dir)
+        logger.info(f"evaluation: {stats}")
+
+
+if __name__ == "__main__":
+    main()

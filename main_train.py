@@ -1,0 +1,149 @@
+"""SNIPER-TPU training CLI.
+
+Counterpart of the reference main_train.py:36-146: config + roidb +
+chip loader + model + optimizer + the epoch loop (here an explicit jitted
+data-parallel step instead of mx.mod.Module.fit).
+
+  python main_train.py --cfg configs/sniper_res101_e2e.yml \
+      [--set TRAIN.lr 0.01 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a SNIPER-TPU detector")
+    p.add_argument("--cfg", required=True, help="experiment yaml")
+    p.add_argument("--set", dest="overrides", nargs="*", default=[],
+                   help="config overrides: key value ...")
+    return p.parse_args()
+
+
+def build_dataset(cfg):
+    name = cfg.dataset.dataset
+    if name == "coco":
+        from sniper_tpu.data.coco import COCODataset
+
+        sets = str(cfg.dataset.image_set).split("+")
+        return [
+            COCODataset(s, cfg.dataset.root_path, cfg.dataset.dataset_path,
+                        load_mask=cfg.TRAIN.WITH_MASK)
+            for s in sets
+        ]
+    if name == "PascalVOC":
+        from sniper_tpu.data.pascal_voc import PascalVOC
+
+        sets = str(cfg.dataset.image_set).split("+")
+        return [
+            PascalVOC(s, cfg.dataset.root_path, cfg.dataset.dataset_path)
+            for s in sets
+        ]
+    raise KeyError(f"unknown dataset {name!r}")
+
+
+def build_roidb(cfg, logger):
+    import os
+
+    from sniper_tpu.data.roidb import (
+        append_flipped_images,
+        filter_roidb,
+        load_rpn_proposals,
+    )
+
+    roidb = []
+    for ds in build_dataset(cfg):
+        r = ds.gt_roidb()
+        if cfg.TRAIN.USE_NEG_CHIPS:
+            pkl = os.path.join(
+                cfg.proposal_path,
+                f"{ds.name}_rpn.pkl",
+            )
+            if os.path.exists(pkl):
+                r = load_rpn_proposals(pkl, r, cfg.dataset.NUM_CLASSES)
+            else:
+                logger.info(
+                    f"proposals {pkl} not found: neg-chip mining will only "
+                    "see GT boxes"
+                )
+        roidb += r
+    if cfg.TRAIN.FLIP:
+        roidb = append_flipped_images(roidb)
+    roidb = filter_roidb(roidb, cfg.TRAIN.FG_THRESH, cfg.TRAIN.BG_THRESH_HI,
+                         cfg.TRAIN.BG_THRESH_LO)
+    logger.info(f"roidb: {len(roidb)} images")
+    return roidb
+
+
+def main():
+    import optax
+
+    from sniper_tpu.config import load_config
+    from sniper_tpu.config.defaults import config_name
+    from sniper_tpu.data.loader import ChipLoader, Prefetcher
+    from sniper_tpu.models.registry import get_model
+    from sniper_tpu.parallel.mesh import make_mesh, shard_batch
+    from sniper_tpu.train.checkpoint import save_checkpoint
+    from sniper_tpu.train.metrics import MetricTracker
+    from sniper_tpu.train.optimizer import make_optimizer
+    from sniper_tpu.train.trainer import create_train_state, make_train_step
+    from sniper_tpu.utils.logger import create_logger
+
+    args = parse_args()
+    cfg = load_config(args.cfg, args.overrides)
+    name = config_name(args.cfg)
+    logger, out_dir = create_logger(cfg.output_path or "./output", name,
+                                    str(cfg.dataset.image_set))
+
+    n_dev = len(jax.devices()) if cfg.parallel.num_devices < 0 else \
+        cfg.parallel.num_devices
+    mesh = make_mesh(n_dev)
+    batch_size = cfg.TRAIN.BATCH_IMAGES * n_dev
+    logger.info(f"devices={n_dev} global_batch={batch_size}")
+
+    roidb = build_roidb(cfg, logger)
+    loader = ChipLoader(roidb, cfg, batch_size, seed=cfg.TRAIN.seed)
+
+    model = get_model(cfg)
+    n_chips = loader.reset()
+    logger.info(f"epoch 0: {n_chips} chips")
+    epoch_size = max(len(loader), 1)
+
+    sample = next(iter(loader))
+    state = create_train_state(model, cfg, sample, optax.sgd(0.1),
+                               seed=cfg.TRAIN.seed)
+    tx, schedule = make_optimizer(cfg, epoch_size, state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+    step_fn = make_train_step(
+        model, tx, mesh, cfg.TRAIN.BATCH_IMAGES,
+        rpn_batch_size=cfg.TRAIN.RPN_BATCH_SIZE,
+        with_autofocus=cfg.TRAIN.AUTO_FOCUS,
+    )
+
+    key = jax.random.PRNGKey(cfg.TRAIN.seed)
+    step = 0
+    for epoch in range(cfg.TRAIN.begin_epoch, cfg.TRAIN.end_epoch):
+        if epoch > cfg.TRAIN.begin_epoch:
+            n_chips = loader.reset()
+            logger.info(f"epoch {epoch}: {n_chips} chips")
+        tracker = MetricTracker()
+        for batch in Prefetcher(iter(loader)):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, shard_batch(mesh, batch), sub)
+            tracker.update(
+                jax.tree_util.tree_map(float, metrics), batch_size
+            )
+            step += 1
+            if step % 20 == 0:
+                lr = float(schedule(step))
+                logger.info(tracker.format(epoch, step) + f"  lr={lr:.6f}")
+        save_checkpoint(f"{out_dir}/checkpoints", state, epoch + 1)
+        logger.info(f"saved checkpoint epoch {epoch + 1}")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,30 @@ def process_chip_image(im_bgr, chip_box, im_scale, chip_size, pixel_means,
     return out
 
 
+def process_chip_image_rect(im_bgr, chip_box, im_scale, canvas_hw,
+                            pixel_means, flipped=False):
+    """Test-time variant: crop->resize->RGB->mean-subtract->pad into a
+    rectangular [H,W] canvas. Returns (img [H,W,3], out_h, out_w) where
+    out_h/out_w are the content dims (the im_info extent)."""
+    import cv2
+
+    im = im_bgr[:, ::-1, :] if flipped else im_bgr
+    x1 = max(int(chip_box[0]), 0)
+    y1 = max(int(chip_box[1]), 0)
+    x2 = min(int(chip_box[2]), im.shape[1])
+    y2 = min(int(chip_box[3]), im.shape[0])
+    im = im[y1:y2, x1:x2, :]
+    im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
+                    interpolation=cv2.INTER_LINEAR)
+    h, w = canvas_hw
+    out = np.zeros((h, w, 3), dtype=np.float32)
+    d1 = min(im.shape[0], h)
+    d2 = min(im.shape[1], w)
+    for j in range(3):
+        out[:d1, :d2, j] = im[:d1, :d2, 2 - j] - pixel_means[2 - j]
+    return out, d1, d2
+
+
 class ChipLoader:
     """Epoch-based chip batch iterator."""
 

@@ -1,0 +1,85 @@
+"""Test-time chip iterator: static canvases, orientation grouping,
+partial-batch padding."""
+
+import numpy as np
+
+from sniper_tpu.config import default_config
+from sniper_tpu.data.test_loader import (
+    TestChipIterator,
+    canvas_for_scale,
+    init_inference_crops,
+    scale_for_image,
+)
+from tests.test_loader import synth_image_loader
+
+
+def make_cfg():
+    cfg = default_config()
+    cfg.TEST.SCALES = [(1400, 2000), (800, 1280), (480, 512)]
+    cfg.network.PIXEL_MEANS = np.array([100.0, 100.0, 100.0])
+    return cfg
+
+
+def test_scale_for_image():
+    # 640*1400/480 = 1867 <= 2000 -> min-side rule holds
+    assert scale_for_image(640, 480, (1400, 2000)) == 1400 / 480
+    # 4000*1400/500 = 11200 > 2000 -> max-side cap
+    assert scale_for_image(4000, 500, (1400, 2000)) == 2000 / 4000
+    assert scale_for_image(640, 480, (800, 1280)) == 800 / 480
+    assert scale_for_image(640, 480, (-1, 512)) == 512 / 640
+
+
+def test_canvas_static_shapes():
+    land, port = canvas_for_scale((1400, 2000))
+    assert land == (1408, 2048) and port == (2048, 1408)
+    land, port = canvas_for_scale((480, 512))
+    assert land == (512, 512)
+
+
+def test_iterator_batches(rng):
+    cfg = make_cfg()
+    roidb = [
+        {"image": "a:480x640", "width": 640, "height": 480, "flipped": False},
+        {"image": "b:600x400", "width": 400, "height": 600, "flipped": False},
+        {"image": "c:480x640", "width": 640, "height": 480, "flipped": False},
+    ]
+    init_inference_crops(roidb)
+    it = TestChipIterator(roidb, cfg, 2, batch_size=2,
+                          image_loader=synth_image_loader)
+    batches = list(iter(it))
+    # 2 landscape (1 batch) + 1 portrait (1 padded batch)
+    assert len(batches) == 2
+    b0 = batches[0]
+    assert b0["data"].shape == (2, 512, 512, 3)
+    assert b0["valid"].all()
+    b1 = batches[1]
+    assert b1["data"].shape == (2, 512, 512, 3)
+    assert b1["valid"].tolist() == [True, False]
+    # im_info reflects scaled content extent, not canvas
+    i = b0["im_ids"][0]
+    s = scale_for_image(roidb[i]["width"], roidb[i]["height"], (480, 512))
+    assert abs(b0["im_info"][0][2] - s) < 1e-6
+    assert b0["im_info"][0][0] <= 512
+
+
+def test_iterator_focus_chips(rng):
+    cfg = make_cfg()
+    roidb = [
+        {"image": "a:480x640", "width": 640, "height": 480, "flipped": False},
+    ]
+    roidb[0]["inference_crops"] = np.array(
+        [[0.0, 0, 320, 240], [320, 240, 640, 480], [0, 0, 64, 64]]
+    )
+    it = TestChipIterator(roidb, cfg, 1, batch_size=4,
+                          image_loader=synth_image_loader)
+    batches = list(iter(it))
+    total = sum(b["valid"].sum() for b in batches)
+    assert total == 3
+    # chips sorted by area descending within orientation groups
+    first = batches[0]
+    areas = []
+    for k in range(int(first["valid"].sum())):
+        areas.append(
+            first["im_info"][k][0] * first["im_info"][k][1]
+        )
+    assert areas == sorted(areas, reverse=True)
