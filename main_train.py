@@ -122,6 +122,7 @@ def main():
         model, tx, mesh, cfg.TRAIN.BATCH_IMAGES,
         rpn_batch_size=cfg.TRAIN.RPN_BATCH_SIZE,
         with_autofocus=cfg.TRAIN.AUTO_FOCUS,
+        with_mask=cfg.TRAIN.WITH_MASK,
     )
 
     key = jax.random.PRNGKey(cfg.TRAIN.seed)

@@ -43,6 +43,8 @@ class AnchorTargets(NamedTuple):
     bbox_weights: np.ndarray  # [4A, H, W] float32
     gt_boxes: np.ndarray      # [max_n_gts, 5] float32, -1 padded
     focus_label: np.ndarray | None  # [H*W] float32 in {-1, 0, 1} or None
+    gt_keep: np.ndarray       # indices into gtids of the kept gt rows
+                              # (aligns gt_boxes rows with per-gt extras)
 
 
 class AutoFocusParams(NamedTuple):
@@ -144,6 +146,7 @@ class AnchorTargetAssigner:
         focus = self._focus_map(gt_boxes) if self.autofocus else None
 
         keep = filter_boxes_mask(gt_boxes, self.min_gt_size)
+        gt_keep = np.where(keep)[0]
         gt_boxes = gt_boxes[keep]
         cls = np.asarray(classes, dtype=np.float64).reshape(-1)[keep]
         agt_boxes = gt_boxes.copy()
@@ -216,4 +219,5 @@ class AnchorTargetAssigner:
             fgt[:n, :4] = agt_boxes[:n]
             fgt[:n, 4] = cls[:n]
 
-        return AnchorTargets(out_labels, out_targets, out_weights, fgt, focus)
+        return AnchorTargets(out_labels, out_targets, out_weights, fgt,
+                             focus, gt_keep)

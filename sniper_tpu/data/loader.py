@@ -216,6 +216,19 @@ class ChipLoader:
         }
         if tgt.focus_label is not None:
             sample["scale_label"] = tgt.focus_label
+        if cfg.TRAIN.WITH_MASK and "gt_masks" in r:
+            from sniper_tpu.data.mask_utils import crop_polys, rasterize_gt_masks
+
+            # polys into chip coords, aligned to the kept gt rows
+            polys = crop_polys(
+                [r["gt_masks"][g] for g in gtids], chip.box, chip.im_scale
+            )
+            kept_polys = [polys[k] for k in tgt.gt_keep]
+            kept_boxes = tgt.gt_boxes[: len(tgt.gt_keep), :4]
+            sample["gt_masks"] = rasterize_gt_masks(
+                kept_polys, kept_boxes, grid=112,
+                max_n_gts=cfg.TRAIN.MAX_GT_BOXES,
+            )
         return sample
 
     def __iter__(self):

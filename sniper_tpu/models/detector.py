@@ -43,6 +43,9 @@ class SNIPERDetector(nn.Module):
     head_fc_dim: int = 1024
     num_trunk_groups: int = 1  # >1 -> ResNeXt grouped convs
     autofocus: bool = False
+    with_mask: bool = False
+    num_mask_rois: int = 50
+    mask_size: int = 28
     dtype: Any = jnp.bfloat16
     # proposal op params (TRAIN.* / TEST.* RPN keys)
     pre_nms_top_n: int = 6000
@@ -64,10 +67,11 @@ class SNIPERDetector(nn.Module):
 
     @nn.compact
     def __call__(self, data, im_info, gt_boxes=None, valid_ranges=None,
-                 train: bool = True):
+                 gt_masks=None, train: bool = True):
         """data [B,H,W,3] (mean-subtracted), im_info [B,3] (h, w, scale);
         train also needs gt_boxes [B,G,5], valid_ranges [B,2] and a
-        'sampling' PRNG stream."""
+        'sampling' PRNG stream; with_mask training additionally takes
+        gt_masks [B,G,D,D] dense box-normalized GT masks."""
         if self.trunk_type == "mobilenetv2":
             from sniper_tpu.models.mobilenetv2 import MobileNetV2Trunk
 
@@ -128,7 +132,7 @@ class SNIPERDetector(nn.Module):
             )
             rois_flat = jax.lax.stop_gradient(tgt.rois.reshape(-1, 5))
             cls_score, bbox_pred = head(roi_feat_map, rois_flat)
-            return {
+            out = {
                 "rpn_cls_logits": rpn_cls_logits,  # [B,H,W,2,A]
                 "rpn_bbox_pred": rpn_bbox,         # [B,4A,H,W]
                 "rois": tgt.rois,
@@ -139,6 +143,54 @@ class SNIPERDetector(nn.Module):
                 "bbox_pred": bbox_pred.reshape(b, self.num_rois, 4),
                 "focus_logits": focus_logits,
             }
+            if self.with_mask:
+                from sniper_tpu.models.heads import MaskHead
+                from sniper_tpu.ops.deform import deformable_psroi_pool
+                from sniper_tpu.ops.mask_target import mask_targets_from_dense
+                from sniper_tpu.models.heads import grad_scale as _gs
+
+                m = self.num_mask_rois
+                # fg rois come first in the sampler's slot ordering
+                mask_rois = jax.lax.stop_gradient(tgt.rois[:, :m])
+                mask_gids = tgt.matched_gt[:, :m]
+                mr_flat = mask_rois.reshape(-1, 5)
+                # two-pass deformable 14x14 pooling (mask variant)
+                off_t = deformable_psroi_pool(
+                    roi_feat_map, mr_flat, None, pooled_size=14,
+                    spatial_scale=1.0 / self.feat_stride,
+                )
+                off = nn.Dense(
+                    14 * 14 * 2, kernel_init=nn.initializers.zeros,
+                    name="mask_offset",
+                )(off_t.reshape(mr_flat.shape[0], -1))
+                off = _gs(off, 0.01)
+                trans = off.reshape(-1, 2, 14, 14).transpose(0, 2, 3, 1)
+                pooled = deformable_psroi_pool(
+                    roi_feat_map, mr_flat, trans, pooled_size=14,
+                    spatial_scale=1.0 / self.feat_stride,
+                )
+                logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
+                targets, cls_ids = mask_targets_from_dense(
+                    mask_rois, mask_gids, gt_boxes, gt_masks,
+                    mask_size=self.mask_size,
+                )
+                # per-roi class channel pick: neg plane c-1, pos plane
+                # c-1+num_fg (reference pick/concat, mask symbol :396-401)
+                nfg = self.num_classes - 1
+                cid = jnp.maximum(cls_ids.reshape(-1) - 1, 0)
+                logits = logits.reshape(b * m, self.mask_size, self.mask_size,
+                                        2 * nfg)
+                neg = jnp.take_along_axis(
+                    logits, cid[:, None, None, None], axis=-1
+                )
+                pos = jnp.take_along_axis(
+                    logits, (cid + nfg)[:, None, None, None], axis=-1
+                )
+                out["mask_logits"] = jnp.concatenate([neg, pos], axis=-1)
+                out["mask_targets"] = targets.reshape(
+                    b * m, self.mask_size, self.mask_size
+                )
+            return out
 
         rois, scores, valid = multi_proposal(
             rpn_fg, rpn_bbox, im_info, anchors,

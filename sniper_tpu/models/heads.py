@@ -89,6 +89,31 @@ class RCNNHead(nn.Module):
         return cls_score, bbox_pred
 
 
+class MaskHead(nn.Module):
+    """Mask branch (resnet_mx_101_e2e_mask.get_mask_head, :238-254):
+    4x conv3x3-256 -> 2x2 stride-2 deconv (14 -> 28) -> 1x1 conv with
+    2*num_fg_classes channels (per-class neg/pos logit planes)."""
+
+    num_fg_classes: int = 80
+    num_layers: int = 4
+
+    @nn.compact
+    def __call__(self, pooled):
+        """pooled [R, 14, 14, C] -> logits [R, 28, 28, 2*num_fg_classes]."""
+        h = pooled
+        for i in range(self.num_layers):
+            h = nn.relu(
+                nn.Conv(256, (3, 3), padding="SAME", kernel_init=init_n01,
+                        name=f"mask_conv_3x3_{i + 1}")(h)
+            )
+        h = nn.relu(
+            nn.ConvTranspose(256, (2, 2), strides=(2, 2),
+                             kernel_init=init_n01, name="mask_deconv")(h)
+        )
+        return nn.Conv(self.num_fg_classes * 2, (1, 1), kernel_init=init_n01,
+                       name="mask_out")(h)
+
+
 class AutoFocusHead(nn.Module):
     @nn.compact
     def __call__(self, feat):

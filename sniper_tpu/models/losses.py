@@ -70,8 +70,14 @@ def focus_loss(focus_logits, focus_labels):
     )
 
 
+def mask_loss(mask_logits, mask_targets):
+    """mask_logits [M,S,S,2], targets [M,S,S] in {-1,0,1}; valid-norm CE
+    with -1 ignore (reference mask SoftmaxOutput, mask symbol :403-405)."""
+    return softmax_ce_ignore(mask_logits, mask_targets.astype(jnp.int32))
+
+
 def total_loss(outputs, batch, batch_images, rpn_batch_size=256,
-               with_autofocus=False):
+               with_autofocus=False, with_mask=False):
     """Compose the training loss from detector outputs + loader batch.
 
     batch needs: 'label' [B,A*H*W], 'bbox_target'/'bbox_weight'
@@ -99,5 +105,9 @@ def total_loss(outputs, batch, batch_images, rpn_batch_size=256,
         l_focus = focus_loss(outputs["focus_logits"], batch["scale_label"])
         loss = loss + l_focus
         metrics["focus_loss"] = l_focus
+    if with_mask:
+        l_mask = mask_loss(outputs["mask_logits"], outputs["mask_targets"])
+        loss = loss + l_mask
+        metrics["mask_loss"] = l_mask
     metrics["loss"] = loss
     return loss, metrics

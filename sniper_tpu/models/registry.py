@@ -22,6 +22,7 @@ def _resnet(units):
             feat_stride=cfg.network.RPN_FEAT_STRIDE,
             units=units,
             autofocus=bool(cfg.TRAIN.AUTO_FOCUS or cfg.TEST.AUTO_FOCUS),
+            with_mask=bool(cfg.TRAIN.WITH_MASK),
             dtype=jnp.bfloat16 if cfg.TRAIN.bf16 else jnp.float32,
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
             bbox_means=tuple(cfg.TRAIN.BBOX_MEANS),

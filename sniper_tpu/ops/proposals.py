@@ -131,6 +131,7 @@ class ProposalTargets(NamedTuple):
     labels: jax.Array        # [B, R] int32, -1 ignore / 0 bg / class id fg
     bbox_targets: jax.Array  # [B, R, 4] std-normalized deltas
     bbox_weights: jax.Array  # [B, R, 4] 1.0 at fg rois
+    matched_gt: jax.Array    # [B, R] int32 gt index of fg rois, -1 else
 
 
 def _sample_rois_single(
@@ -229,7 +230,8 @@ def _sample_rois_single(
     tgt = (tgt - jnp.asarray(bbox_means)) / jnp.asarray(bbox_stds)
     w = (sel_is_fg & sel_take).astype(jnp.float32)[:, None] * jnp.ones((1, 4))
     tgt = tgt * w  # zero out non-fg targets
-    return rois, labels, tgt, w
+    matched_gt = jnp.where(sel_take & sel_is_fg, argmax_gt[sel_idx], -1)
+    return rois, labels, tgt, w, matched_gt
 
 
 @partial(
@@ -270,11 +272,11 @@ def multi_proposal_target(
         fg_thresh=fg_thresh, bg_thresh_hi=bg_thresh_hi,
         bg_thresh_lo=bg_thresh_lo, bbox_stds=bbox_stds, bbox_means=bbox_means,
     )
-    rois, labels, tgts, ws = jax.vmap(sample_fn)(
+    rois, labels, tgts, ws, matched = jax.vmap(sample_fn)(
         props, scores, valid, gt_boxes, valid_ranges, keys
     )
     batch_idx = jnp.broadcast_to(
         jnp.arange(b, dtype=rois.dtype)[:, None, None], (b, num_rois, 1)
     )
     rois = jnp.concatenate([batch_idx, rois], axis=-1)
-    return ProposalTargets(rois, labels, tgts, ws)
+    return ProposalTargets(rois, labels, tgts, ws, matched)

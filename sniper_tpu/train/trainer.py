@@ -47,6 +47,7 @@ def create_train_state(model, cfg, sample_batch, tx, seed: int = 0):
         sample_batch["im_info"],
         sample_batch["gt_boxes"],
         sample_batch["valid_ranges"],
+        gt_masks=sample_batch.get("gt_masks"),
         train=True,
     )
     params = variables["params"]
@@ -60,7 +61,7 @@ def create_train_state(model, cfg, sample_batch, tx, seed: int = 0):
 
 def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
                     rpn_batch_size: int = 256, with_autofocus: bool = False,
-                    axis: str = "data"):
+                    with_mask: bool = False, axis: str = "data"):
     """Build the jitted data-parallel train step.
 
     Returns step(state, batch, key) -> (state, metrics). ``batch`` dicts
@@ -76,12 +77,13 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["data"], batch["im_info"], batch["gt_boxes"],
-                batch["valid_ranges"], train=True,
-                rngs={"sampling": key}, mutable=["batch_stats"],
+                batch["valid_ranges"], gt_masks=batch.get("gt_masks"),
+                train=True, rngs={"sampling": key}, mutable=["batch_stats"],
             )
             loss, metrics = total_loss(
                 out, batch, batch_images=batch_images_per_device,
                 rpn_batch_size=rpn_batch_size, with_autofocus=with_autofocus,
+                with_mask=with_mask,
             )
             # train-visible accuracy metrics (reference metric.py set)
             labels = out["rcnn_labels"]
@@ -112,7 +114,7 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
     data_spec = {
         k: P(axis)
         for k in ("data", "im_info", "gt_boxes", "valid_ranges", "label",
-                  "bbox_target", "bbox_weight", "scale_label")
+                  "bbox_target", "bbox_weight", "scale_label", "gt_masks")
     }
 
     def batch_spec(batch):
