@@ -123,6 +123,7 @@ def main():
         rpn_batch_size=cfg.TRAIN.RPN_BATCH_SIZE,
         with_autofocus=cfg.TRAIN.AUTO_FOCUS,
         with_mask=cfg.TRAIN.WITH_MASK,
+        rpn_only=cfg.TRAIN.ONLY_PROPOSAL,
     )
 
     key = jax.random.PRNGKey(cfg.TRAIN.seed)

@@ -44,6 +44,8 @@ class SNIPERDetector(nn.Module):
     num_trunk_groups: int = 1  # >1 -> ResNeXt grouped convs
     autofocus: bool = False
     with_mask: bool = False
+    rpn_only: bool = False  # TRAIN.ONLY_PROPOSAL: RPN phase of the
+    # neg-chip pipeline (reference get_symbol_rpn, :157-227)
     num_mask_rois: int = 50
     mask_size: int = 28
     dtype: Any = jnp.bfloat16
@@ -102,6 +104,20 @@ class SNIPERDetector(nn.Module):
         rpn_probs = jax.nn.softmax(rpn_cls_logits, axis=3)[..., 1, :]
         rpn_fg = rpn_probs.transpose(0, 3, 1, 2)
 
+        if self.rpn_only:
+            if train:
+                return {
+                    "rpn_cls_logits": rpn_cls_logits,
+                    "rpn_bbox_pred": rpn_bbox,
+                }
+            fh0, fw0 = feat.shape[1], feat.shape[2]
+            rois, scores, valid = multi_proposal(
+                rpn_fg, rpn_bbox, im_info, self._anchors(fh0, fw0),
+                pre_nms=self.pre_nms_top_n, post_nms=self.post_nms_top_n,
+                thresh=self.nms_thresh, min_size=self.rpn_min_size,
+            )
+            return {"rois": rois, "roi_scores": scores, "roi_valid": valid}
+
         roi_feat_map = nn.relu(
             nn.Conv(256, (1, 1), kernel_init=nn.initializers.normal(0.01),
                     name="conv_new_1")(feat)
@@ -145,7 +161,9 @@ class SNIPERDetector(nn.Module):
             }
             if self.with_mask:
                 from sniper_tpu.models.heads import MaskHead
-                from sniper_tpu.ops.deform import deformable_psroi_pool
+                from sniper_tpu.ops.deform import (
+                    deformable_psroi_pool_fast as deformable_psroi_pool,
+                )
                 from sniper_tpu.ops.mask_target import mask_targets_from_dense
                 from sniper_tpu.models.heads import grad_scale as _gs
 

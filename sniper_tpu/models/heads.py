@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from sniper_tpu.ops.deform import deformable_psroi_pool
+from sniper_tpu.ops.deform import deformable_psroi_pool_fast as deformable_psroi_pool
 
 init_n01 = nn.initializers.normal(0.01)
 

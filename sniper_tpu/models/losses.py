@@ -77,7 +77,7 @@ def mask_loss(mask_logits, mask_targets):
 
 
 def total_loss(outputs, batch, batch_images, rpn_batch_size=256,
-               with_autofocus=False, with_mask=False):
+               with_autofocus=False, with_mask=False, rpn_only=False):
     """Compose the training loss from detector outputs + loader batch.
 
     batch needs: 'label' [B,A*H*W], 'bbox_target'/'bbox_weight'
@@ -89,6 +89,13 @@ def total_loss(outputs, batch, batch_images, rpn_batch_size=256,
         outputs["rpn_bbox_pred"], batch["bbox_target"], batch["bbox_weight"],
         batch_images, rpn_batch_size,
     )
+    if rpn_only:
+        loss = l_rpn_cls + l_rpn_bbox
+        return loss, {
+            "rpn_cls_loss": l_rpn_cls,
+            "rpn_bbox_loss": l_rpn_bbox,
+            "loss": loss,
+        }
     l_rcnn_cls = rcnn_cls_loss(outputs["cls_score"], outputs["rcnn_labels"])
     l_rcnn_bbox = rcnn_bbox_loss(
         outputs["bbox_pred"], outputs["rcnn_bbox_targets"],

@@ -23,6 +23,7 @@ def _resnet(units):
             units=units,
             autofocus=bool(cfg.TRAIN.AUTO_FOCUS or cfg.TEST.AUTO_FOCUS),
             with_mask=bool(cfg.TRAIN.WITH_MASK),
+            rpn_only=bool(cfg.TRAIN.ONLY_PROPOSAL),
             dtype=jnp.bfloat16 if cfg.TRAIN.bf16 else jnp.float32,
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
             bbox_means=tuple(cfg.TRAIN.BBOX_MEANS),

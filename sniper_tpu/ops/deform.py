@@ -128,6 +128,177 @@ def deformable_conv(
     return out.reshape(B, H, W, cout)
 
 
+def _resize_matrices(start, scale_step, n_out, n_in):
+    """Per-roi 1-D bilinear resize matrices.
+
+    start [R]: coordinate of output cell 0's sample point; scale_step
+    [R]: spacing between output cells (pixels). Returns (W [R, n_out,
+    n_in] tent weights, valid [R, n_out] in-bounds flags). Out-of-bounds
+    sample points get zero weight rows (the DCN drop-from-count rule);
+    in-bounds points are clamped like the CUDA kernel.
+    """
+    r = start.shape[0]
+    m = jnp.arange(n_out, dtype=jnp.float32)
+    pos = start[:, None] + m[None, :] * scale_step[:, None]  # [R, n_out]
+    valid = (pos > -0.5) & (pos < n_in - 0.5)
+    posc = jnp.clip(pos, 0.0, n_in - 1.0)
+    cells = jnp.arange(n_in, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(posc[:, :, None] - cells[None, None, :]))
+    return w * valid[:, :, None].astype(w.dtype), valid
+
+
+def _box4(x, axis):
+    """Sliding window-4 sum along ``axis`` (valid positions only)."""
+    n = x.shape[axis]
+    sl = lambda a, b: jax.lax.slice_in_dim(x, a, b, axis=axis)
+    return sl(0, n - 3) + sl(1, n - 2) + sl(2, n - 1) + sl(3, n)
+
+
+def deformable_psroi_pool_fast(
+    feat: jax.Array,
+    rois: jax.Array,
+    trans: jax.Array | None,
+    *,
+    pooled_size: int = 7,
+    sample_per_part: int = 4,
+    spatial_scale: float = 0.0625,
+    trans_std: float = 0.1,
+    margin_bins: int = 2,
+    roi_chunk: int = 64,
+) -> jax.Array:
+    """MXU-native deformable ROI pooling.
+
+    Same interface/semantics as deformable_psroi_pool but restructured
+    for TPU: the naive form issues P^2 * S^2 * 4 bilinear gathers per roi
+    against the HBM feature map (the profiled hot spot: ~100ms per step).
+    Here:
+
+    1. each roi is resized onto its regular (P*S)^2 sample grid (plus a
+       margin for offsets) with two per-roi bilinear matrices — batched
+       skinny matmuls that run on the MXU, not gathers. Sample positions
+       match the CUDA kernel exactly (roi snapping, 0.1 min size,
+       drop-out-of-bounds-from-count),
+    2. the per-bin S x S average becomes a sliding box-sum of that patch,
+    3. per-bin learned offsets shift all S^2 samples of a bin equally, so
+       the deformable output is ONE bilinear lookup per bin into the
+       box-summed patch (offsets expressed in patch cells) — R*P^2*4
+       small gathers total, ~16x fewer than the naive form.
+
+    Rois are processed in ``roi_chunk`` blocks under lax.map so the
+    [chunk, T+2M, W, C] resize intermediate stays bounded (a full-R
+    intermediate is multi-GB at test canvases and crashed the TPU
+    worker); the resize matmuls run in bf16 with fp32 accumulation.
+
+    For trans=None this is bit-equivalent math to the reference kernel
+    (up to bf16 resize rounding). With offsets it reconstructs off-grid
+    samples from the patch's piecewise-linear interpolant instead of the
+    original map's — a sub-cell approximation (patch cells are one
+    sub-sample apart); the margin covers offsets up to ``margin_bins``
+    bins, beyond which they clamp. Parameters are trained from scratch in
+    this framework, so the op is self-consistent.
+    """
+    B, H, W, C = feat.shape
+    P = pooled_size
+    S = sample_per_part
+    T = P * S
+    M = 0 if trans is None else margin_bins * S
+    E = T + 2 * M  # extended patch cells per axis
+    R = rois.shape[0]
+
+    # pad roi count to a chunk multiple
+    n_chunks = max(1, -(-R // roi_chunk))
+    pad = n_chunks * roi_chunk - R
+    rois_p = jnp.concatenate(
+        [rois, jnp.zeros((pad, 5), rois.dtype)], axis=0
+    ).reshape(n_chunks, roi_chunk, 5)
+    if trans is not None:
+        trans_p = jnp.concatenate(
+            [trans, jnp.zeros((pad,) + trans.shape[1:], trans.dtype)], axis=0
+        ).reshape((n_chunks, roi_chunk) + trans.shape[1:])
+
+    feat_bh = feat.astype(jnp.bfloat16).reshape(B * H, W, C)
+
+    def chunk_fn(args):
+        crois = args[0]
+        ctrans = args[1] if trans is not None else None
+        roi_batch = crois[:, 0].astype(jnp.int32)
+        x1 = jnp.round(crois[:, 1]) * spatial_scale - 0.5
+        y1 = jnp.round(crois[:, 2]) * spatial_scale - 0.5
+        x2 = (jnp.round(crois[:, 3]) + 1.0) * spatial_scale - 0.5
+        y2 = (jnp.round(crois[:, 4]) + 1.0) * spatial_scale - 0.5
+        roi_w = jnp.maximum(x2 - x1, 0.1)
+        roi_h = jnp.maximum(y2 - y1, 0.1)
+        sub_w = roi_w / T
+        sub_h = roi_h / T
+
+        # patch cell t samples at x1 + (t - M + 0.5) * sub
+        wy, vy = _resize_matrices(y1 + (0.5 - M) * sub_h, sub_h, E, H)
+        wx, vx = _resize_matrices(x1 + (0.5 - M) * sub_w, sub_w, E, W)
+
+        # fold the batch index into the Y matrix (one-hot block embedding)
+        onehot = jax.nn.one_hot(roi_batch, B, dtype=wy.dtype)  # [Rc, B]
+        wyb = (
+            onehot[:, :, None, None] * wy[:, None, :, :]
+        ).transpose(0, 2, 1, 3).reshape(roi_chunk, E, B * H)
+
+        tmp = jnp.einsum(
+            "rtk,kwc->rtwc", wyb.astype(jnp.bfloat16), feat_bh,
+            preferred_element_type=jnp.float32,
+        )  # [Rc, E, W, C]
+        patch = jnp.einsum(
+            "rsw,rtwc->rtsc", wx.astype(jnp.bfloat16),
+            tmp.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+        )  # [Rc, E, E, C]
+        cnt = (vy[:, :, None] & vx[:, None, :]).astype(jnp.float32)
+
+        ssum = _box4(_box4(patch, 1), 2)
+        scnt = _box4(_box4(cnt[..., None], 1), 2)[..., 0]
+
+        if ctrans is None:
+            idx = M + S * jnp.arange(P)
+            out = ssum[:, idx][:, :, idx]
+            n = scnt[:, idx][:, :, idx][..., None]
+            return jnp.where(n > 0, out / jnp.maximum(n, 1.0), 0.0)
+
+        off_y = (
+            ctrans[..., 0].astype(jnp.float32) * trans_std
+            * roi_h[:, None, None]
+        )
+        off_x = (
+            ctrans[..., 1].astype(jnp.float32) * trans_std
+            * roi_w[:, None, None]
+        )
+        dy = off_y / sub_h[:, None, None]
+        dx = off_x / sub_w[:, None, None]
+        base = S * jnp.arange(P, dtype=jnp.float32) + M
+        py = jnp.clip(base[None, :, None] + dy, 0.0, E - 4.0)
+        px = jnp.clip(base[None, None, :] + dx, 0.0, E - 4.0)
+
+        # bilinear lookup as separable tent-weight contractions (pure
+        # MXU; per-roi dynamic gathers hang the backend here)
+        L = E - 3
+        grid = jnp.arange(L, dtype=jnp.float32)
+        wly = jnp.maximum(0.0, 1.0 - jnp.abs(py[..., None] - grid))  # [Rc,P,P,L]
+        wlx = jnp.maximum(0.0, 1.0 - jnp.abs(px[..., None] - grid))
+        # contract y then x against the box-summed patch [Rc, L, L, C]
+        t1 = jnp.einsum("rijy,ryxc->rijxc", wly, ssum,
+                        preferred_element_type=jnp.float32)
+        out = jnp.einsum("rijx,rijxc->rijc", wlx, t1,
+                         preferred_element_type=jnp.float32)
+        c1 = jnp.einsum("rijy,ryx->rijx", wly, scnt,
+                        preferred_element_type=jnp.float32)
+        n = jnp.einsum("rijx,rijx->rij", wlx, c1,
+                       preferred_element_type=jnp.float32)[..., None]
+        return jnp.where(n > 0, out / jnp.maximum(n, 1.0), 0.0)
+
+    if trans is None:
+        out = jax.lax.map(lambda c: chunk_fn((c,)), rois_p)
+    else:
+        out = jax.lax.map(lambda c: chunk_fn(c), (rois_p, trans_p))
+    out = out.reshape(n_chunks * roi_chunk, P, P, C)
+    return out[:R]
+
+
 def deformable_psroi_pool(
     feat: jax.Array,
     rois: jax.Array,

@@ -61,7 +61,8 @@ def create_train_state(model, cfg, sample_batch, tx, seed: int = 0):
 
 def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
                     rpn_batch_size: int = 256, with_autofocus: bool = False,
-                    with_mask: bool = False, axis: str = "data"):
+                    with_mask: bool = False, rpn_only: bool = False,
+                    axis: str = "data"):
     """Build the jitted data-parallel train step.
 
     Returns step(state, batch, key) -> (state, metrics). ``batch`` dicts
@@ -83,17 +84,19 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
             loss, metrics = total_loss(
                 out, batch, batch_images=batch_images_per_device,
                 rpn_batch_size=rpn_batch_size, with_autofocus=with_autofocus,
-                with_mask=with_mask,
+                with_mask=with_mask, rpn_only=rpn_only,
             )
             # train-visible accuracy metrics (reference metric.py set)
-            labels = out["rcnn_labels"]
-            pred = jnp.argmax(out["cls_score"], axis=-1)
-            valid = labels >= 0
-            metrics["rcnn_acc"] = jnp.where(
-                valid, (pred == labels), 0
-            ).sum() / jnp.maximum(valid.sum(), 1)
-            fg = labels > 0
-            metrics["rcnn_fg_frac"] = fg.sum() / jnp.maximum(valid.sum(), 1)
+            if not rpn_only:
+                labels = out["rcnn_labels"]
+                pred = jnp.argmax(out["cls_score"], axis=-1)
+                valid = labels >= 0
+                metrics["rcnn_acc"] = jnp.where(
+                    valid, (pred == labels), 0
+                ).sum() / jnp.maximum(valid.sum(), 1)
+                fg = labels > 0
+                metrics["rcnn_fg_frac"] = fg.sum() / jnp.maximum(
+                    valid.sum(), 1)
             return loss, (metrics, mutated["batch_stats"])
 
         grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)

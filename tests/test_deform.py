@@ -122,3 +122,74 @@ def test_deform_ops_differentiable(rng):
     g = jax.grad(f)(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_psroi_fast_no_trans_exact(rng):
+    from sniper_tpu.ops.deform import deformable_psroi_pool_fast
+
+    feat = rng.randn(2, 16, 16, 5).astype(np.float32)
+    rois = np.array(
+        [[0, 10, 20, 120, 200], [1, 0, 0, 255, 255], [0, 200, 200, 250, 250]],
+        np.float32,
+    )
+    ref = np.asarray(
+        deformable_psroi_pool(jnp.asarray(feat), jnp.asarray(rois), None)
+    )
+    fast = np.asarray(
+        deformable_psroi_pool_fast(jnp.asarray(feat), jnp.asarray(rois), None)
+    )
+    # exact math; tolerance covers the op's bf16 resize matmuls
+    np.testing.assert_allclose(fast, ref, atol=2e-2)
+
+
+def test_psroi_fast_zero_trans_matches_no_trans(rng):
+    from sniper_tpu.ops.deform import deformable_psroi_pool_fast
+
+    feat = rng.randn(1, 12, 12, 3).astype(np.float32)
+    rois = np.array([[0, 16, 16, 120, 120]], np.float32)
+    trans = np.zeros((1, 7, 7, 2), np.float32)
+    a = np.asarray(
+        deformable_psroi_pool_fast(jnp.asarray(feat), jnp.asarray(rois),
+                                   jnp.asarray(trans))
+    )
+    b = np.asarray(
+        deformable_psroi_pool_fast(jnp.asarray(feat), jnp.asarray(rois), None)
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_psroi_fast_small_trans_close_to_reference(rng):
+    from sniper_tpu.ops.deform import deformable_psroi_pool_fast
+
+    # smooth feature -> the patch-interpolant approximation is tight
+    yy, xx = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    feat = np.stack([np.sin(yy / 4.0), np.cos(xx / 5.0)], -1)[None].astype(
+        np.float32
+    )
+    rois = np.array([[0, 30, 30, 300, 300]], np.float32)
+    trans = (rng.randn(1, 7, 7, 2) * 0.5).astype(np.float32)
+    ref = np.asarray(
+        deformable_psroi_pool(jnp.asarray(feat), jnp.asarray(rois),
+                              jnp.asarray(trans))
+    )
+    fast = np.asarray(
+        deformable_psroi_pool_fast(jnp.asarray(feat), jnp.asarray(rois),
+                                   jnp.asarray(trans))
+    )
+    np.testing.assert_allclose(fast, ref, atol=0.05)
+
+
+def test_psroi_fast_differentiable(rng):
+    from sniper_tpu.ops.deform import deformable_psroi_pool_fast
+
+    feat = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    rois = jnp.asarray(np.array([[0, 10, 10, 100, 100]], np.float32))
+    trans = jnp.asarray((rng.randn(1, 7, 7, 2) * 0.1).astype(np.float32))
+
+    def f(feat, trans):
+        return deformable_psroi_pool_fast(feat, rois, trans).sum()
+
+    gf, gt = jax.grad(f, argnums=(0, 1))(feat, trans)
+    assert np.isfinite(np.asarray(gf)).all()
+    assert np.abs(np.asarray(gf)).sum() > 0
+    assert np.abs(np.asarray(gt)).sum() > 0
