@@ -147,6 +147,63 @@ def filter_roidb(roidb, fg_thresh=0.5, bg_thresh_hi=0.5, bg_thresh_lo=0.0):
     return kept
 
 
+AREA_RANGES = {
+    "all": (0**2, 1e5**2),
+    "0-25": (0**2, 25**2),
+    "25-50": (25**2, 50**2),
+    "50-100": (50**2, 100**2),
+    "100-200": (100**2, 200**2),
+    "200-300": (200**2, 300**2),
+    "300-inf": (300**2, 1e5**2),
+}
+
+
+def evaluate_recall(roidb, candidate_boxes=None, thresholds=None,
+                    area="all"):
+    """Proposal recall by GT area band (imdb.evaluate_recall,
+    imdb.py:291-396): max-IoU matching of GTs to proposals, recall at
+    IoU thresholds 0.5:0.05:0.95 plus the area under the curve ("AR")."""
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+    lo, hi = AREA_RANGES[area]
+    gt_overlaps = []
+    for i, r in enumerate(roidb):
+        gt_inds = np.where(r["max_overlaps"] == 1)[0]
+        gt_boxes = r["boxes"][gt_inds]
+        areas = (gt_boxes[:, 2] - gt_boxes[:, 0] + 1) * (
+            gt_boxes[:, 3] - gt_boxes[:, 1] + 1
+        )
+        keep = (areas >= lo) & (areas <= hi)
+        gt_boxes = gt_boxes[keep]
+        if candidate_boxes is None:
+            non_gt = np.where(r["gt_classes"] == 0)[0]
+            boxes = r["boxes"][non_gt]
+        else:
+            boxes = candidate_boxes[i]
+        if len(gt_boxes) == 0:
+            continue
+        if len(boxes) == 0:
+            gt_overlaps.append(np.zeros(len(gt_boxes)))
+            continue
+        ov = bbox_overlaps(
+            boxes.astype(np.float64), gt_boxes.astype(np.float64)
+        )
+        gt_overlaps.append(ov.max(axis=0))
+    gt_overlaps = (
+        np.concatenate(gt_overlaps) if gt_overlaps else np.zeros(0)
+    )
+    recalls = np.array(
+        [(gt_overlaps >= t).mean() if len(gt_overlaps) else 0.0
+         for t in thresholds]
+    )
+    return {
+        "ar": float(recalls.mean()),
+        "recalls": recalls,
+        "thresholds": thresholds,
+        "num_pos": int(len(gt_overlaps)),
+    }
+
+
 def remove_small_boxes(roidb, max_scale, min_size=10.0):
     """Drop GTs smaller than min_size at the finest scale
     (load_data.py:52-74 semantics)."""

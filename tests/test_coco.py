@@ -176,3 +176,18 @@ def test_results_json_format(coco_dir, tmp_path):
     assert len(res) == 1
     assert res[0]["category_id"] == 18
     np.testing.assert_allclose(res[0]["bbox"], [100, 100, 50, 60])
+
+
+def test_evaluate_recall(coco_dir, tmp_path):
+    from sniper_tpu.data.roidb import evaluate_recall
+
+    ds = COCODataset("tiny", str(tmp_path), coco_dir)
+    roidb = ds.gt_roidb(use_cache=False)
+    # perfect proposals = the GT boxes themselves
+    cands = [r["boxes"][r["max_overlaps"] == 1] for r in roidb]
+    stats = evaluate_recall(roidb, candidate_boxes=cands)
+    assert stats["ar"] == pytest.approx(1.0)
+    # garbage proposals -> zero recall
+    bad = [np.array([[0, 0, 5, 5]], np.float32) for _ in roidb]
+    stats2 = evaluate_recall(roidb, candidate_boxes=bad)
+    assert stats2["ar"] == 0.0
