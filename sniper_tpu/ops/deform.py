@@ -251,10 +251,9 @@ def deformable_psroi_pool_fast(
         )  # [Rc, E, E, C]
         cnt = (vy[:, :, None] & vx[:, None, :]).astype(jnp.float32)
 
-        ssum = _box4(_box4(patch, 1), 2)
-        scnt = _box4(_box4(cnt[..., None], 1), 2)[..., 0]
-
         if ctrans is None:
+            ssum = _box4(_box4(patch, 1), 2)
+            scnt = _box4(_box4(cnt[..., None], 1), 2)[..., 0]
             idx = M + S * jnp.arange(P)
             out = ssum[:, idx][:, :, idx]
             n = scnt[:, idx][:, :, idx][..., None]
@@ -274,22 +273,36 @@ def deformable_psroi_pool_fast(
         py = jnp.clip(base[None, :, None] + dy, 0.0, E - 4.0)
         px = jnp.clip(base[None, None, :] + dx, 0.0, E - 4.0)
 
-        # bilinear lookup as separable tent-weight contractions (pure
-        # MXU; per-roi dynamic gathers hang the backend here)
-        L = E - 3
-        grid = jnp.arange(L, dtype=jnp.float32)
-        wly = jnp.maximum(0.0, 1.0 - jnp.abs(py[..., None] - grid))  # [Rc,P,P,L]
-        wlx = jnp.maximum(0.0, 1.0 - jnp.abs(px[..., None] - grid))
-        # contract y then x against the box-summed patch [Rc, L, L, C]
-        t1 = jnp.einsum("rijy,ryxc->rijxc", wly, ssum,
-                        preferred_element_type=jnp.float32)
-        out = jnp.einsum("rijx,rijxc->rijc", wlx, t1,
-                         preferred_element_type=jnp.float32)
-        c1 = jnp.einsum("rijy,ryx->rijx", wly, scnt,
-                        preferred_element_type=jnp.float32)
-        n = jnp.einsum("rijx,rijx->rij", wlx, c1,
-                       preferred_element_type=jnp.float32)[..., None]
-        return jnp.where(n > 0, out / jnp.maximum(n, 1.0), 0.0)
+        # Fused bin extraction: the S-sample box average at a shifted
+        # window equals a fixed (box conv tent) stencil applied to the
+        # patch, so each bin is ONE row of a fused weight matrix — the
+        # whole lookup becomes a single batched [P^2, E^2] x [E^2, C]
+        # matmul (MXU; separable einsum chains and per-roi gathers were
+        # both slow/hostile on this backend).
+        grid = jnp.arange(E, dtype=jnp.float32)
+        # sum_{k=0..S-1} tent(p + k - y): window-start tent stack
+        def stencil(p):
+            d = p[..., None] - grid  # [Rc,P,P,E] window start minus cell
+            w = jnp.zeros_like(d)
+            for k in range(S):
+                w = w + jnp.maximum(0.0, 1.0 - jnp.abs(d + k))
+            return w
+
+        w_y = stencil(py)  # [Rc, P, P, E]
+        w_x = stencil(px)
+        wf = (w_y[..., :, None] * w_x[..., None, :]).reshape(
+            roi_chunk, P * P, E * E
+        )
+        pooled = jnp.einsum(
+            "rbe,rec->rbc", wf.astype(jnp.bfloat16),
+            patch.reshape(roi_chunk, E * E, C).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).reshape(roi_chunk, P, P, C)
+        n = jnp.einsum(
+            "rbe,re->rb", wf, cnt.reshape(roi_chunk, E * E),
+            preferred_element_type=jnp.float32,
+        ).reshape(roi_chunk, P, P)[..., None]
+        return jnp.where(n > 0, pooled / jnp.maximum(n, 1.0), 0.0)
 
     if trans is None:
         out = jax.lax.map(lambda c: chunk_fn((c,)), rois_p)
