@@ -126,8 +126,15 @@ def main():
         rpn_only=cfg.TRAIN.ONLY_PROPOSAL,
     )
 
+    if cfg.TRAIN.begin_epoch > 0:
+        from sniper_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(f"{out_dir}/checkpoints", state,
+                                cfg.TRAIN.begin_epoch)
+        logger.info(f"resumed from epoch {cfg.TRAIN.begin_epoch}")
+
     key = jax.random.PRNGKey(cfg.TRAIN.seed)
-    step = 0
+    step = int(state.step)
     for epoch in range(cfg.TRAIN.begin_epoch, cfg.TRAIN.end_epoch):
         if epoch > cfg.TRAIN.begin_epoch:
             n_chips = loader.reset()

@@ -102,10 +102,16 @@ class Tester:
         ]
         all_maps = [[None] * n_chips[i] for i in range(n_images)]
 
+        import time
+
+        detect_time, post_time, n_done = 0.0, 0.0, 0
         for batch in batches:
+            t0 = time.time()
             scores, boxes, maps = self.detect(
                 batch["data"], batch["im_info"], batch["im_scales"]
             )
+            detect_time += time.time() - t0
+            t0 = time.time()
             for i in range(len(scores)):
                 if not batch["valid"][i]:
                     continue
@@ -142,6 +148,15 @@ class Tester:
                         all_boxes[j][im_id][chip_id] = (
                             d[keep] if keep else np.zeros((0, 5), np.float32)
                         )
+            post_time += time.time() - t0
+            n_done += int(np.sum(batch["valid"]))
+            if n_done:
+                # reference Tester progress line (inference.py:362-367)
+                print(
+                    f"Tester: {n_done}, Detection: "
+                    f"{detect_time / n_done:.4f}s/im, Post Processing: "
+                    f"{post_time / n_done:.4f}s/im"
+                )
         return all_boxes, all_maps
 
     def aggregate(self, scale_cls_dets, num_images: int):
