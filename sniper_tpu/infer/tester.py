@@ -28,6 +28,39 @@ from sniper_tpu.ops.boxes import bbox_pred, clip_boxes
 from sniper_tpu.ops.nms import NMSWrapper
 
 
+def pack_detections(out):
+    """Concat test-mode outputs into ONE device array [B, N, 5+C+4+1].
+
+    Device->host fetches through the relay cost a fixed ~30ms each
+    regardless of size; packing rois/cls_prob/bbox_pred/valid into a
+    single tensor cuts per-batch fetches from 4 to 1. Apply inside the
+    jitted forward (the concat fuses); unpack on host with
+    unpack_detections.
+    """
+    import jax.numpy as jnp
+
+    return jnp.concatenate(
+        [
+            out["rois"],
+            out["cls_prob"],
+            out["bbox_pred"],
+            out["roi_valid"][..., None].astype(out["cls_prob"].dtype),
+        ],
+        axis=-1,
+    )
+
+
+def unpack_detections(arr, num_classes):
+    """Host-side inverse of pack_detections (numpy views)."""
+    c = num_classes
+    return {
+        "rois": arr[..., :5],
+        "cls_prob": arr[..., 5 : 5 + c],
+        "bbox_pred": arr[..., 5 + c : 9 + c],
+        "roi_valid": arr[..., 9 + c] > 0.5,
+    }
+
+
 def check_valid(det, chip, im_width, im_height, delta=10.0):
     """Drop detections touching an interior chip border (AutoFocus)."""
     dx1, dy1, dx2, dy2 = det[0], det[1], det[2], det[3]
@@ -59,13 +92,24 @@ class Tester:
 
     def detect(self, data, im_info, im_scales):
         """One padded batch -> per-image (scores [N,C], boxes [N,4]) in
-        original image coordinates, plus focus maps if present."""
+        original image coordinates, plus focus maps if present.
+
+        The forward may return either the detector's dict or a packed
+        array (pack_detections) — packed costs one host fetch instead of
+        four."""
         out = self.forward_fn(data, im_info)
+        maps = None
+        if isinstance(out, tuple):  # (packed, focus_prob)
+            out, fmap = out
+            maps = np.asarray(fmap)
+        if not isinstance(out, dict):
+            out = unpack_detections(np.asarray(out), self.num_classes)
         rois = np.asarray(out["rois"])
         cls_prob = np.asarray(out["cls_prob"])
         deltas = np.asarray(out["bbox_pred"])
         valid = np.asarray(out["roi_valid"])
-        maps = np.asarray(out["focus_prob"]) if "focus_prob" in out else None
+        if maps is None and "focus_prob" in out:
+            maps = np.asarray(out["focus_prob"])
 
         scores_list, boxes_list, maps_list = [], [], []
         for i in range(rois.shape[0]):

@@ -52,8 +52,8 @@ class MobileUnit(nn.Module):
         )(x)
         h = nn.BatchNorm(
             use_running_average=not train, momentum=self.bn_momentum,
-            epsilon=1e-5, dtype=jnp.float32, name="batchnorm",
-        )(h).astype(self.dtype)
+            epsilon=1e-5, dtype=self.dtype, name="batchnorm",
+        )(h)
         return relu6(h) if self.act else h
 
 

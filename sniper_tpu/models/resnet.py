@@ -47,7 +47,7 @@ class PreActBottleneck(nn.Module):
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=use_ra, momentum=self.bn_momentum,
-                epsilon=BN_EPS, dtype=jnp.float32, name=name,
+                epsilon=BN_EPS, dtype=self.dtype, name=name,
             )
 
         def conv(f, k, s, d, name):
@@ -110,9 +110,9 @@ class ResNetTrunk(nn.Module):
         )(h)
         h = h.astype(self.dtype)  # reference casts to half after conv0
         h = nn.BatchNorm(
-            use_running_average=True, epsilon=BN_EPS, dtype=jnp.float32,
+            use_running_average=True, epsilon=BN_EPS, dtype=self.dtype,
             name="bn0",
-        )(h).astype(self.dtype)
+        )(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

@@ -37,7 +37,7 @@ class ResNeXtUnit(nn.Module):
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=use_ra, momentum=self.bn_momentum,
-                epsilon=BN_EPS, dtype=jnp.float32, name=name,
+                epsilon=BN_EPS, dtype=self.dtype, name=name,
             )
 
         f = self.filters
@@ -99,9 +99,9 @@ class ResNeXtTrunk(nn.Module):
         )(x.astype(jnp.float32))
         h = h.astype(self.dtype)
         h = nn.BatchNorm(
-            use_running_average=True, epsilon=BN_EPS, dtype=jnp.float32,
+            use_running_average=True, epsilon=BN_EPS, dtype=self.dtype,
             name="bn0",
-        )(h).astype(self.dtype)
+        )(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

@@ -81,23 +81,41 @@ def deformable_conv(
     base_x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     off = offsets.astype(jnp.float32).reshape(B, H, W, G, K * K, 2)
 
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (H, W, G), 2)
+
     def one_image(xi, offi):
-        # xi [H,W,Cin], offi [H,W,G,K*K,2]
+        # xi [H,W,Cin], offi [H,W,G,K*K,2]. Groups share one combined
+        # index space ((pos)*G + g) so each tap-corner is a single take
+        # instead of G small ones.
+        xg = xi.reshape(H * W * G, cg)
         cols = []
         for ky in range(K):
             for kx in range(K):
                 t = ky * K + kx
                 dy = (ky * dilation - half) + offi[:, :, :, t, 0]  # [H,W,G]
                 dx = (kx * dilation - half) + offi[:, :, :, t, 1]
-                sy = base_y[:, :, None] + dy
-                sx = base_x[:, :, None] + dx
-                per_group = []
-                for g in range(G):
-                    fg = xi[:, :, g * cg : (g + 1) * cg].reshape(H * W, cg)
-                    per_group.append(
-                        _bilinear_gather(fg, sy[:, :, g], sx[:, :, g], H, W)
+                sy = jnp.clip(base_y[:, :, None] + dy, 0.0, H - 1.0)
+                sx = jnp.clip(base_x[:, :, None] + dx, 0.0, W - 1.0)
+                y0 = jnp.floor(sy).astype(jnp.int32)
+                x0 = jnp.floor(sx).astype(jnp.int32)
+                y1 = jnp.minimum(y0 + 1, H - 1)
+                x1 = jnp.minimum(x0 + 1, W - 1)
+                ly = (sy - y0).astype(xg.dtype)[..., None]
+                lx = (sx - x0).astype(xg.dtype)[..., None]
+
+                def take(yy, xx):
+                    idx = (yy * W + xx) * G + g_iota
+                    return jnp.take(xg, idx.reshape(-1), axis=0).reshape(
+                        H, W, G, cg
                     )
-                cols.append(jnp.concatenate(per_group, axis=-1))  # [H,W,Cin]
+
+                v00 = take(y0, x0)
+                v01 = take(y0, x1)
+                v10 = take(y1, x0)
+                v11 = take(y1, x1)
+                top = v00 * (1 - lx) + v01 * lx
+                bot = v10 * (1 - lx) + v11 * lx
+                cols.append((top * (1 - ly) + bot * ly).reshape(H, W, Cin))
         return jnp.stack(cols, axis=2)  # [H,W,K*K,Cin]
 
     col = jax.vmap(one_image)(x, off)  # [B,H,W,K*K,Cin]
