@@ -1,0 +1,146 @@
+"""End-to-end CLI pipeline: synthetic COCO -> train -> checkpoint ->
+multi-scale detection -> COCO eval, through the main_train/main_test
+code paths (tiny model injected via registry override)."""
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import main_test
+import main_train
+from sniper_tpu.config import load_config
+from sniper_tpu.models.detector import SNIPERDetector
+
+
+def make_coco(tmp_path, n_images=4):
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    aid = 1
+    os.makedirs(tmp_path / "coco" / "train_tiny", exist_ok=True)
+    for i in range(1, n_images + 1):
+        w, h = 320, 256
+        images.append({"id": i, "width": w, "height": h,
+                       "file_name": f"im{i}.jpg"})
+        for _ in range(3):
+            x, y = rng.uniform(10, 200), rng.uniform(10, 150)
+            bw, bh = rng.uniform(30, 90), rng.uniform(30, 90)
+            anns.append({
+                "id": aid, "image_id": i,
+                "category_id": int(rng.choice([7, 21])), "iscrowd": 0,
+                "bbox": [x, y, bw, bh], "area": bw * bh,
+            })
+            aid += 1
+        import cv2
+
+        cv2.imwrite(
+            str(tmp_path / "coco" / "train_tiny" / f"im{i}.jpg"),
+            rng.randint(0, 255, (h, w, 3)).astype(np.uint8),
+        )
+    ann = {
+        "images": images, "annotations": anns,
+        "categories": [{"id": 7, "name": "cat"}, {"id": 21, "name": "dog"}],
+    }
+    os.makedirs(tmp_path / "coco" / "annotations", exist_ok=True)
+    with open(tmp_path / "coco" / "annotations" /
+              "instances_train_tiny.json", "w") as f:
+        json.dump(ann, f)
+
+
+def write_cfg(tmp_path):
+    cfg_yml = f"""---
+output_path: "{tmp_path}/output"
+symbol: resnet_mx_50_e2e
+proposal_path: "{tmp_path}/props"
+network:
+  PIXEL_MEANS: [103.9, 116.8, 123.7]
+  RPN_FEAT_STRIDE: 16
+  FIXED_PARAMS: []
+  ANCHOR_RATIOS: [0.5, 1, 2]
+  ANCHOR_SCALES: [2, 4, 7]
+  NUM_ANCHORS: 9
+dataset:
+  NUM_CLASSES: 3
+  dataset: coco
+  dataset_path: "{tmp_path}/coco"
+  image_set: train_tiny
+  root_path: "{tmp_path}"
+  test_image_set: train_tiny
+TRAIN:
+  CPP_CHIPS: false
+  USE_NEG_CHIPS: false
+  SCALES: [[-1, 256]]
+  VALID_RANGES: [[-1, -1]]
+  CHIP_SIZE: 256
+  lr: 0.001
+  lr_step: ''
+  warmup: false
+  end_epoch: 1
+  FLIP: false
+  SHUFFLE: true
+  BATCH_IMAGES: 1
+  RPN_BATCH_SIZE: 64
+  RPN_POSITIVE_OVERLAP: 0.5
+  RPN_NEGATIVE_OVERLAP: 0.4
+  RPN_PRE_NMS_TOP_N: 200
+  RPN_POST_NMS_TOP_N: 16
+TEST:
+  MAX_PER_IMAGE: 20
+  SCALES: [[-1, 256]]
+  BATCH_IMAGES: [2]
+  VALID_RANGES: [[-1, -1]]
+  RPN_PRE_NMS_TOP_N: 200
+  RPN_POST_NMS_TOP_N: 16
+  NMS: -1
+  NMS_SIGMA: 0.55
+  TEST_EPOCH: 1
+"""
+    p = tmp_path / "tiny.yml"
+    p.write_text(cfg_yml)
+    return str(p)
+
+
+def tiny_model(cfg, **overrides):
+    return SNIPERDetector(
+        num_classes=cfg.dataset.NUM_CLASSES,
+        num_anchors=cfg.network.NUM_ANCHORS,
+        anchor_ratios=tuple(cfg.network.ANCHOR_RATIOS),
+        anchor_scales=tuple(cfg.network.ANCHOR_SCALES),
+        units=(1, 1, 1, 1), dtype=jnp.float32,
+        pre_nms_top_n=200, post_nms_top_n=16, num_rois=16,
+    )
+
+
+@pytest.mark.slow
+def test_train_then_test_pipeline(tmp_path, monkeypatch):
+    make_coco(tmp_path)
+    cfg_path = write_cfg(tmp_path)
+
+    import sniper_tpu.models.registry as registry
+
+    monkeypatch.setitem(registry._REGISTRY, "resnet_mx_50_e2e", tiny_model)
+
+    monkeypatch.setattr(
+        sys, "argv", ["main_train.py", "--cfg", cfg_path]
+    )
+    main_train.main()
+
+    ckpts = []
+    for root, dirs, files in os.walk(str(tmp_path / "output")):
+        if "checkpoints" in root:
+            ckpts.append(root)
+    assert ckpts, "training must write a checkpoint"
+
+    monkeypatch.setattr(sys, "argv", ["main_test.py", "--cfg", cfg_path])
+    main_test.main()
+    # results json written by the evaluator
+    found = []
+    for root, dirs, files in os.walk(str(tmp_path)):
+        found += [f for f in files if f.startswith("detections_")]
+    assert found, "main_test must write a results json"
