@@ -81,42 +81,48 @@ def deformable_conv(
     base_x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     off = offsets.astype(jnp.float32).reshape(B, H, W, G, K * K, 2)
 
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (H, W, G), 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
 
-    def one_image(xi, offi):
-        # xi [H,W,Cin], offi [H,W,G,K*K,2]. Groups share one combined
-        # index space ((pos)*G + g) so each tap-corner is a single take
-        # instead of G small ones.
-        xg = xi.reshape(H * W * G, cg)
+    def one_group(xg, offg):
+        """xg [H,W,cg], offg [H,W,K*K,2]. One 2x2xcg slice gather per tap
+        covers the whole bilinear neighborhood (4x fewer, 4x larger
+        descriptors than per-corner takes: ~1.5x faster on v5e)."""
         cols = []
         for ky in range(K):
             for kx in range(K):
                 t = ky * K + kx
-                dy = (ky * dilation - half) + offi[:, :, :, t, 0]  # [H,W,G]
-                dx = (kx * dilation - half) + offi[:, :, :, t, 1]
-                sy = jnp.clip(base_y[:, :, None] + dy, 0.0, H - 1.0)
-                sx = jnp.clip(base_x[:, :, None] + dx, 0.0, W - 1.0)
-                y0 = jnp.floor(sy).astype(jnp.int32)
-                x0 = jnp.floor(sx).astype(jnp.int32)
-                y1 = jnp.minimum(y0 + 1, H - 1)
-                x1 = jnp.minimum(x0 + 1, W - 1)
+                sy = jnp.clip(
+                    base_y + (ky * dilation - half) + offg[:, :, t, 0],
+                    0.0, H - 1.0,
+                )
+                sx = jnp.clip(
+                    base_x + (kx * dilation - half) + offg[:, :, t, 1],
+                    0.0, W - 1.0,
+                )
+                y0 = jnp.minimum(jnp.floor(sy).astype(jnp.int32), H - 2)
+                x0 = jnp.minimum(jnp.floor(sx).astype(jnp.int32), W - 2)
                 ly = (sy - y0).astype(xg.dtype)[..., None]
                 lx = (sx - x0).astype(xg.dtype)[..., None]
+                starts = jnp.stack([y0.reshape(-1), x0.reshape(-1)], axis=1)
+                sl = jax.lax.gather(
+                    xg, starts, dnums, slice_sizes=(2, 2, cg),
+                    mode=jax.lax.GatherScatterMode.CLIP,
+                ).reshape(H, W, 2, 2, cg)
+                top = sl[:, :, 0, 0] * (1 - lx) + sl[:, :, 0, 1] * lx
+                bot = sl[:, :, 1, 0] * (1 - lx) + sl[:, :, 1, 1] * lx
+                cols.append(top * (1 - ly) + bot * ly)
+        return jnp.stack(cols, axis=2)  # [H,W,K*K,cg]
 
-                def take(yy, xx):
-                    idx = (yy * W + xx) * G + g_iota
-                    return jnp.take(xg, idx.reshape(-1), axis=0).reshape(
-                        H, W, G, cg
-                    )
-
-                v00 = take(y0, x0)
-                v01 = take(y0, x1)
-                v10 = take(y1, x0)
-                v11 = take(y1, x1)
-                top = v00 * (1 - lx) + v01 * lx
-                bot = v10 * (1 - lx) + v11 * lx
-                cols.append((top * (1 - ly) + bot * ly).reshape(H, W, Cin))
-        return jnp.stack(cols, axis=2)  # [H,W,K*K,Cin]
+    def one_image(xi, offi):
+        # offi [H,W,G,K*K,2]
+        groups = [
+            one_group(xi[:, :, g * cg : (g + 1) * cg], offi[:, :, g])
+            for g in range(G)
+        ]
+        return jnp.concatenate(groups, axis=-1)  # [H,W,K*K,Cin]
 
     col = jax.vmap(one_image)(x, off)  # [B,H,W,K*K,Cin]
     if conv_groups == 1:
