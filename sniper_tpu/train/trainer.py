@@ -1,16 +1,19 @@
-"""Data-parallel training step: shard_map over the 'data' mesh axis.
+"""Data-parallel training step.
 
 TPU-native replacement for the reference's MXNet Module.fit +
-kvstore='device' loop (main_train.py:89-146): one jitted step that runs
-per-device forward/backward (per-device BatchNorm statistics — the
-reference's semantics, README.md:10), ``pmean``s gradients, metrics and
-updated BN stats over ICI, and applies the optimizer. Params and
-optimizer state are replicated; only the batch is sharded.
+kvstore='device' loop (main_train.py:89-146): ONE jitted step over the
+'data' mesh axis using XLA's automatic SPMD partitioning — the batch is
+sharded along dim 0 (shard_batch), params/optimizer state are
+replicated, and XLA inserts the gradient all-reduces and BatchNorm
+statistics collectives over ICI.
 
-Optional cross-replica ("sync") BatchNorm is available by pmean-ing the
-stats each step (cfg.parallel.sync_batchnorm) — stats are pmean-ed either
-way so checkpoints are replica-consistent; the flag is reserved for true
-in-graph sync BN later.
+BatchNorm note: under auto-partitioning the BN statistics are computed
+over the GLOBAL batch (sync-BN). The reference trains per-device BN
+(README.md:10) purely to avoid NCCL sync cost; global statistics are a
+quality superset. (A shard_map per-device-BN variant was measured at
+17-20s/step on this backend — shard_map + grad aux outputs hit a
+pathological lowering — vs 0.6s for the auto-partitioned step, so
+auto-partitioning is the shipped path.)
 """
 
 from __future__ import annotations
@@ -22,8 +25,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, PartitionSpec as P
-from jax import shard_map
+from jax.sharding import Mesh
 
 from sniper_tpu.models.losses import total_loss
 
@@ -65,44 +67,50 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
                     axis: str = "data"):
     """Build the jitted data-parallel train step.
 
-    Returns step(state, batch, key) -> (state, metrics). ``batch`` dicts
-    are sharded along dim 0; ``key`` is a replicated PRNG key folded with
-    the device index so roi sampling differs per replica.
+    Returns step(state, batch, key) -> (state, metrics). ``batch``
+    arrays are sharded along dim 0 (see shard_batch); loss
+    normalizations use the GLOBAL batch size (equivalent to the
+    reference's per-GPU loss + kvstore averaging).
     """
+    n_dev = mesh.devices.size
+    batch_images_global = batch_images_per_device * n_dev
 
-    def device_step(state, batch, key):
-        idx = jax.lax.axis_index(axis)
-        key = jax.random.fold_in(key, idx)
+    def loss_fn(params, batch_stats, batch, key):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["data"], batch["im_info"], batch["gt_boxes"],
+            batch["valid_ranges"], gt_masks=batch.get("gt_masks"),
+            train=True, rngs={"sampling": key}, mutable=["batch_stats"],
+        )
+        loss, metrics = total_loss(
+            out, batch, batch_images=batch_images_global,
+            rpn_batch_size=rpn_batch_size, with_autofocus=with_autofocus,
+            with_mask=with_mask, rpn_only=rpn_only,
+        )
+        # train-visible accuracy metrics (reference metric.py set)
+        if not rpn_only:
+            labels = out["rcnn_labels"]
+            pred = jnp.argmax(out["cls_score"], axis=-1)
+            valid = labels >= 0
+            metrics["rcnn_acc"] = jnp.where(
+                valid, (pred == labels), 0
+            ).sum() / jnp.maximum(valid.sum(), 1)
+            fg = labels > 0
+            metrics["rcnn_fg_frac"] = fg.sum() / jnp.maximum(valid.sum(), 1)
+        return loss, (metrics, mutated["batch_stats"])
 
-        def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["data"], batch["im_info"], batch["gt_boxes"],
-                batch["valid_ranges"], gt_masks=batch.get("gt_masks"),
-                train=True, rngs={"sampling": key}, mutable=["batch_stats"],
-            )
-            loss, metrics = total_loss(
-                out, batch, batch_images=batch_images_per_device,
-                rpn_batch_size=rpn_batch_size, with_autofocus=with_autofocus,
-                with_mask=with_mask, rpn_only=rpn_only,
-            )
-            # train-visible accuracy metrics (reference metric.py set)
-            if not rpn_only:
-                labels = out["rcnn_labels"]
-                pred = jnp.argmax(out["cls_score"], axis=-1)
-                valid = labels >= 0
-                metrics["rcnn_acc"] = jnp.where(
-                    valid, (pred == labels), 0
-                ).sum() / jnp.maximum(valid.sum(), 1)
-                fg = labels > 0
-                metrics["rcnn_fg_frac"] = fg.sum() / jnp.maximum(
-                    valid.sum(), 1)
-            return loss, (metrics, mutated["batch_stats"])
+    # NOTE: no in-graph with_sharding_constraint — the committed input
+    # shardings from shard_batch() already carry the data-parallel
+    # layout, and an explicit constraint forces an SPMD-partitioner
+    # path that lowers this graph catastrophically on the current
+    # backend (measured 22.1s vs 0.35s per step on one chip).
+    del axis
 
-        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, axis)
-        metrics = jax.lax.pmean(metrics, axis)
-        new_bs = jax.lax.pmean(new_bs, axis)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, key):
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, key
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
@@ -113,46 +121,20 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
             metrics,
         )
 
-    rep = P()
-    data_spec = {
-        k: P(axis)
-        for k in ("data", "im_info", "gt_boxes", "valid_ranges", "label",
-                  "bbox_target", "bbox_weight", "scale_label", "gt_masks")
-    }
-
-    def batch_spec(batch):
-        return {k: data_spec[k] for k in batch}
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, batch, key):
-        f = shard_map(
-            device_step, mesh=mesh,
-            in_specs=(rep, batch_spec(batch), rep),
-            out_specs=(rep, rep),
-            check_vma=False,
-        )
-        return f(state, batch, key)
-
     return step
 
 
 def make_eval_step(model, mesh: Mesh, axis: str = "data"):
-    """Jitted data-parallel inference step: batch in, detections out."""
+    """Jitted data-parallel inference step: batch in, detections out.
+    Shardings come from the committed inputs (shard_batch), not in-graph
+    constraints (see make_train_step note)."""
+    del mesh, axis
 
-    def device_step(params, batch_stats, data, im_info):
+    @jax.jit
+    def step(params, batch_stats, data, im_info):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             data, im_info, train=False,
         )
-
-    @jax.jit
-    def step(params, batch_stats, data, im_info):
-        f = shard_map(
-            device_step, mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(axis)),
-            out_specs=P(axis),
-            check_vma=False,
-        )
-        return f(params, batch_stats, data, im_info)
 
     return step

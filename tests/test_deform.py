@@ -194,3 +194,62 @@ def test_psroi_fast_differentiable(rng):
     assert np.isfinite(np.asarray(gf)).all()
     assert np.abs(np.asarray(gf)).sum() > 0
     assert np.abs(np.asarray(gt)).sum() > 0
+
+
+def test_deform_conv_custom_vjp_grads_match_autodiff(rng):
+    """Custom backward (one-hot matmuls) vs plain autodiff of a
+    reference take-based implementation."""
+    from sniper_tpu.ops.deform import _bilinear_gather
+
+    B, H, W, C, G = 1, 6, 7, 8, 2
+    cg = C // G
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    offs = jnp.asarray((rng.randn(B, H, W, G * 9 * 2) * 0.7).astype(np.float32))
+    k = jnp.asarray((rng.randn(3, 3, C, 5) * 0.1).astype(np.float32))
+
+    def ref_conv(x, offs, k):
+        # plain-autodiff reference: per-corner takes (XLA scatter bwd)
+        base_y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        base_x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        off = offs.reshape(B, H, W, G, 9, 2)
+        cols = []
+        for ky in range(3):
+            for kx in range(3):
+                t = ky * 3 + kx
+                per_g = []
+                for g in range(G):
+                    dy = (ky - 1) + off[0, :, :, g, t, 0]
+                    dx = (kx - 1) + off[0, :, :, g, t, 1]
+                    fg = x[0, :, :, g * cg:(g + 1) * cg].reshape(H * W, cg)
+                    per_g.append(
+                        _bilinear_gather(fg, base_y + dy, base_x + dx, H, W)
+                    )
+                cols.append(jnp.concatenate(per_g, -1))
+        col = jnp.stack(cols, 2)[None]
+        return jnp.einsum("bhwtc,tco->bhwo",
+                          col.reshape(B, H, W, 9, C),
+                          k.reshape(9, C, 5))
+
+    from sniper_tpu.ops.deform import deformable_conv
+
+    def loss_new(x, offs):
+        return jnp.sum(
+            deformable_conv(x, offs, k, num_groups=G, dilation=1) ** 2
+        )
+
+    def loss_ref(x, offs):
+        return jnp.sum(ref_conv(x, offs, k) ** 2)
+
+    # forwards agree (away from clamp boundaries, interior offsets)
+    np.testing.assert_allclose(
+        float(loss_new(x, offs)), float(loss_ref(x, offs)), rtol=1e-3
+    )
+    gx_n, go_n = jax.grad(loss_new, argnums=(0, 1))(x, offs)
+    gx_r, go_r = jax.grad(loss_ref, argnums=(0, 1))(x, offs)
+    np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r),
+                               rtol=2e-2, atol=2e-2)
+    # offset grads differ at clamped samples (ref clamps values, we zero
+    # positional grads there); compare interior-dominated bulk
+    diff = np.abs(np.asarray(go_n) - np.asarray(go_r))
+    agree = (diff < 0.05 * (1 + np.abs(np.asarray(go_r)))).mean()
+    assert agree > 0.9, f"offset grads agree only {agree:.2%}"
