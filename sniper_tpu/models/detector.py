@@ -218,11 +218,12 @@ class SNIPERDetector(nn.Module):
         rois_flat = rois.reshape(-1, 5)
         cls_score, bbox_pred = head(roi_feat_map, rois_flat)
         n = self.post_nms_top_n
+        cls_prob = jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1)
         out = {
             "rois": rois,                           # [B,N,5]
             "roi_scores": scores,
             "roi_valid": valid,
-            "cls_prob": jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1),
+            "cls_prob": cls_prob,
             # undo BBOX_STDS normalization here instead of folding weights
             # at checkpoint time like the reference (_test params)
             "bbox_pred": (
@@ -232,4 +233,43 @@ class SNIPERDetector(nn.Module):
         }
         if self.autofocus:
             out["focus_prob"] = jax.nn.softmax(focus_logits, axis=-1)[..., 1]
+        if self.with_mask:
+            # mask branch at inference: pool every kept roi, predict the
+            # 2-channel plane of its argmax class only (fetching all 80
+            # class planes would be 80x the bytes)
+            from sniper_tpu.models.heads import MaskHead
+            from sniper_tpu.models.heads import grad_scale as _gs
+            from sniper_tpu.ops.deform import (
+                deformable_psroi_pool_fast as deformable_psroi_pool,
+            )
+
+            off_t = deformable_psroi_pool(
+                roi_feat_map, rois_flat, None, pooled_size=14,
+                spatial_scale=1.0 / self.feat_stride,
+            )
+            off = nn.Dense(
+                14 * 14 * 2, kernel_init=nn.initializers.zeros,
+                name="mask_offset",
+            )(off_t.reshape(rois_flat.shape[0], -1))
+            off = _gs(off, 0.01)
+            trans = off.reshape(-1, 2, 14, 14).transpose(0, 2, 3, 1)
+            pooled = deformable_psroi_pool(
+                roi_feat_map, rois_flat, trans, pooled_size=14,
+                spatial_scale=1.0 / self.feat_stride,
+            )
+            logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
+            nfg = self.num_classes - 1
+            best_cls = jnp.argmax(cls_prob[..., 1:], axis=-1).reshape(-1)
+            S = self.mask_size
+            logits = logits.reshape(b * n, S, S, 2 * nfg)
+            neg = jnp.take_along_axis(
+                logits, best_cls[:, None, None, None], axis=-1
+            )
+            pos = jnp.take_along_axis(
+                logits, (best_cls + nfg)[:, None, None, None], axis=-1
+            )
+            pair = jnp.concatenate([neg, pos], axis=-1)
+            out["mask_prob"] = jax.nn.softmax(pair, axis=-1)[..., 1].reshape(
+                b, n, S, S
+            )
         return out

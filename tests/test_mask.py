@@ -139,3 +139,65 @@ def test_mask_detector_train_forward():
     assert "mask" in v["params"]
     l = mask_loss(out["mask_logits"], out["mask_targets"])
     assert np.isfinite(float(l))
+
+
+def test_mask_detector_inference_output():
+    from sniper_tpu.models.detector import SNIPERDetector
+
+    model = SNIPERDetector(
+        num_classes=5, num_anchors=9, anchor_scales=(2, 4, 7),
+        anchor_ratios=(0.5, 1, 2), units=(1, 1, 1, 1), with_mask=True,
+        num_mask_rois=4, pre_nms_top_n=100, post_nms_top_n=8, num_rois=8,
+        dtype=jnp.float32,
+    )
+    data = jnp.zeros((1, 64, 64, 3))
+    im_info = jnp.asarray([[64.0, 64, 1.0]])
+    gt = jnp.full((1, 6, 5), -1.0).at[:, 0].set(jnp.asarray([8.0, 8, 40, 40, 2]))
+    masks = jnp.zeros((1, 6, 112, 112))
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        data, im_info, gt, jnp.asarray([[0.0, 512.0]]), gt_masks=masks,
+        train=True,
+    )
+    out = model.apply(v, data, im_info, train=False)
+    assert out["mask_prob"].shape == (1, 8, 28, 28)
+    mp = np.asarray(out["mask_prob"])
+    assert ((mp >= 0) & (mp <= 1)).all()
+
+
+def test_paste_and_rle_roundtrip():
+    from sniper_tpu.infer.masks import (
+        binary_mask_to_rle,
+        paste_mask,
+        rle_to_binary_mask,
+    )
+
+    prob = np.zeros((28, 28), np.float32)
+    prob[7:21, 7:21] = 0.9
+    full = paste_mask(prob, [10, 20, 65, 75], 100, 120)
+    assert full.shape == (100, 120)
+    assert full.sum() > 0
+    # mask content sits inside the box
+    ys, xs = np.nonzero(full)
+    assert ys.min() >= 20 and ys.max() <= 75
+    assert xs.min() >= 10 and xs.max() <= 65
+
+    rle = binary_mask_to_rle(full)
+    rec = rle_to_binary_mask(rle)
+    np.testing.assert_array_equal(rec, full)
+    assert sum(rle["counts"]) == 100 * 120
+    # counts start with the zero run
+    assert full.T.reshape(-1)[0] == 0 and rle["counts"][0] > 0
+
+
+def test_masks_to_results():
+    from sniper_tpu.infer.masks import masks_to_results
+
+    roidb = [{"im_id": 9, "height": 50, "width": 60}]
+    dets = np.array([[5, 5, 30, 30, 0.8]], np.float32)
+    probs = np.ones((1, 28, 28), np.float32)
+    abm = [[None], [(dets, probs)]]
+    res = masks_to_results(abm, roidb, {1: 18}, num_classes=2)
+    assert len(res) == 1
+    assert res[0]["category_id"] == 18
+    assert res[0]["segmentation"]["size"] == [50, 60]
