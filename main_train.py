@@ -116,6 +116,16 @@ def main():
     sample = next(iter(loader))
     state = create_train_state(model, cfg, sample, optax.sgd(0.1),
                                seed=cfg.TRAIN.seed)
+    if str(cfg.network.pretrained or "").strip():
+        from sniper_tpu.train.pretrained import load_pretrained
+
+        variables, _ = load_pretrained(
+            cfg,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            logger,
+        )
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
     tx, schedule = make_optimizer(cfg, epoch_size, state.params)
     state = state.replace(opt_state=tx.init(state.params))
     step_fn = make_train_step(
@@ -124,6 +134,8 @@ def main():
         with_autofocus=cfg.TRAIN.AUTO_FOCUS,
         with_mask=cfg.TRAIN.WITH_MASK,
         rpn_only=cfg.TRAIN.ONLY_PROPOSAL,
+        ohem_rois=(int(cfg.TRAIN.BATCH_ROIS_OHEM)
+                   if cfg.TRAIN.ENABLE_OHEM else 0),
     )
 
     if cfg.TRAIN.begin_epoch > 0:

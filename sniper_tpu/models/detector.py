@@ -49,11 +49,20 @@ class SNIPERDetector(nn.Module):
     num_mask_rois: int = 50
     mask_size: int = 28
     dtype: Any = jnp.bfloat16
-    # proposal op params (TRAIN.* / TEST.* RPN keys)
+    # proposal op params. The TEST.* RPN keys drive the inference branch
+    # (reference MultiProposal attrs, resnet_mx_101_e2e.py:347-355); the
+    # TRAIN.* keys drive multi_proposal_target (reference
+    # MultiProposalTarget attrs, :283-284). num_rois is the sampled roi
+    # count per image — the reference op emits exactly RPN_POST_NMS_TOP_N
+    # rois, so the registry ties num_rois to TRAIN.RPN_POST_NMS_TOP_N.
     pre_nms_top_n: int = 6000
     post_nms_top_n: int = 300
     nms_thresh: float = 0.7
     rpn_min_size: float = 0.0
+    train_pre_nms: int = 6000
+    train_post_nms: int = 300
+    train_nms_thresh: float = 0.7
+    train_min_size: float = 0.0
     num_rois: int = 300
     fg_fraction: float = 0.25
     fg_thresh: float = 0.5
@@ -138,8 +147,8 @@ class SNIPERDetector(nn.Module):
             key = self.make_rng("sampling")
             tgt = multi_proposal_target(
                 rpn_fg, rpn_bbox, im_info, gt_boxes, valid_ranges, anchors,
-                key, pre_nms=self.pre_nms_top_n, post_nms=self.post_nms_top_n,
-                thresh=self.nms_thresh, min_size=self.rpn_min_size,
+                key, pre_nms=self.train_pre_nms, post_nms=self.train_post_nms,
+                thresh=self.train_nms_thresh, min_size=self.train_min_size,
                 num_rois=self.num_rois, fg_fraction=self.fg_fraction,
                 fg_thresh=self.fg_thresh, bg_thresh_hi=self.bg_thresh_hi,
                 bg_thresh_lo=self.bg_thresh_lo,

@@ -77,11 +77,16 @@ def mask_loss(mask_logits, mask_targets):
 
 
 def total_loss(outputs, batch, batch_images, rpn_batch_size=256,
-               with_autofocus=False, with_mask=False, rpn_only=False):
+               with_autofocus=False, with_mask=False, rpn_only=False,
+               ohem_rois=0):
     """Compose the training loss from detector outputs + loader batch.
 
     batch needs: 'label' [B,A*H*W], 'bbox_target'/'bbox_weight'
     [B,4A,H,W] (+ 'scale_label' [B,H*W] for AutoFocus).
+    ohem_rois > 0 enables Online Hard Example Mining over the sampled
+    rois (TRAIN.ENABLE_OHEM + BATCH_ROIS_OHEM; reference
+    box_annotator_ohem.py:27-78): only the top-k hardest rois per image
+    keep their labels/bbox weights before the loss.
     Returns (loss, metrics dict).
     """
     l_rpn_cls = rpn_cls_loss(outputs["rpn_cls_logits"], batch["label"])
@@ -96,10 +101,27 @@ def total_loss(outputs, batch, batch_images, rpn_batch_size=256,
             "rpn_bbox_loss": l_rpn_bbox,
             "loss": loss,
         }
-    l_rcnn_cls = rcnn_cls_loss(outputs["cls_score"], outputs["rcnn_labels"])
+    rcnn_labels = outputs["rcnn_labels"]
+    rcnn_weights = outputs["rcnn_bbox_weights"]
+    if ohem_rois:
+        from sniper_tpu.ops.ohem import ohem_select
+
+        logits = outputs["cls_score"].astype(jnp.float32)
+        safe = jnp.maximum(rcnn_labels, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per_cls = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        per_cls = jnp.where(rcnn_labels >= 0, per_cls, 0.0)
+        diff = (
+            outputs["bbox_pred"] - outputs["rcnn_bbox_targets"]
+        ).astype(jnp.float32)
+        per_bbox = (rcnn_weights * smooth_l1(diff)).sum(-1)
+        rcnn_labels, rcnn_weights = ohem_select(
+            per_cls, per_bbox, rcnn_labels, rcnn_weights, ohem_rois
+        )
+    l_rcnn_cls = rcnn_cls_loss(outputs["cls_score"], rcnn_labels)
     l_rcnn_bbox = rcnn_bbox_loss(
         outputs["bbox_pred"], outputs["rcnn_bbox_targets"],
-        outputs["rcnn_bbox_weights"], batch_images,
+        rcnn_weights, batch_images,
     )
     loss = l_rpn_cls + l_rpn_bbox + l_rcnn_cls + l_rcnn_bbox
     metrics = {

@@ -27,6 +27,22 @@ def _resnet(units):
             dtype=jnp.bfloat16 if cfg.TRAIN.bf16 else jnp.float32,
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
             bbox_means=tuple(cfg.TRAIN.BBOX_MEANS),
+            # inference-branch RPN knobs (reference MultiProposal attrs)
+            pre_nms_top_n=int(cfg.TEST.RPN_PRE_NMS_TOP_N),
+            post_nms_top_n=int(cfg.TEST.RPN_POST_NMS_TOP_N),
+            nms_thresh=float(cfg.TEST.RPN_NMS_THRESH),
+            rpn_min_size=float(cfg.TEST.RPN_MIN_SIZE),
+            # train-branch knobs (reference MultiProposalTarget attrs);
+            # the fused target op emits exactly RPN_POST_NMS_TOP_N rois
+            train_pre_nms=int(cfg.TRAIN.RPN_PRE_NMS_TOP_N),
+            train_post_nms=int(cfg.TRAIN.RPN_POST_NMS_TOP_N),
+            train_nms_thresh=float(cfg.TRAIN.RPN_NMS_THRESH),
+            train_min_size=float(cfg.TRAIN.RPN_MIN_SIZE),
+            num_rois=int(cfg.TRAIN.RPN_POST_NMS_TOP_N),
+            fg_fraction=float(cfg.TRAIN.FG_FRACTION),
+            fg_thresh=float(cfg.TRAIN.FG_THRESH),
+            bg_thresh_hi=float(cfg.TRAIN.BG_THRESH_HI),
+            bg_thresh_lo=float(cfg.TRAIN.BG_THRESH_LO),
         )
         kw.update(overrides)
         return SNIPERDetector(**kw)
@@ -60,7 +76,8 @@ def _mobilenetv2():
 
 _REGISTRY = {
     "resnet_mx_101_e2e": _resnet((3, 4, 23, 3)),
-    "resnet_mx_101_e2e_mask": _resnet((3, 4, 23, 3)),  # mask head: round 2
+    "resnet_mx_101_e2e_mask": _resnet((3, 4, 23, 3)),  # mask head enabled
+    # via TRAIN.WITH_MASK in the mask ymls (detector.py with_mask branch)
     "resnet_mx_50_e2e": _resnet((3, 4, 6, 3)),
     "resnext_mx_101": _resnext((3, 4, 23, 3)),
     "mobilenetv2_e2e": _mobilenetv2(),

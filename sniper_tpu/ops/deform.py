@@ -27,6 +27,18 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.lru_cache(maxsize=None)
+def _mm_dtype():
+    """Matmul-operand dtype for the hand-written dots in this module.
+
+    bf16 operands with fp32 accumulation is the MXU-native layout, but
+    the XLA CPU backend cannot execute bf16 x bf16 -> f32 dots
+    (DotThunk rejects them), so CPU runs keep the operands fp32. The
+    accumulation dtype (preferred_element_type) is fp32 either way.
+    """
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
 def _bilinear_gather(feat_flat, h_coord, w_coord, H, W):
     """Bilinear sample feat_flat [H*W, C] at fractional coords [...].
 
@@ -159,21 +171,22 @@ def _make_im2col(num_groups: int, K: int, dilation: int):
                     sy, sx, y0, x0, ly, lx = _sample_geom(
                         offg, H, W, base_y, base_x, t, ky, kx
                     )
+                    mmd = _mm_dtype()
                     gq = gcol[:, :, :, t, g * cg : (g + 1) * cg].reshape(
                         B, Q, cg
-                    ).astype(jnp.bfloat16)
+                    ).astype(mmd)
 
                     y0f = y0.reshape(B, Q, 1)
                     x0f = x0.reshape(B, Q, 1)
-                    lyf = ly.reshape(B, Q, 1).astype(jnp.bfloat16)
-                    lxf = lx.reshape(B, Q, 1).astype(jnp.bfloat16)
+                    lyf = ly.reshape(B, Q, 1).astype(mmd)
+                    lxf = lx.reshape(B, Q, 1).astype(mmd)
                     wy = (
-                        (ygrid == y0f).astype(jnp.bfloat16) * (1 - lyf)
-                        + (ygrid == y0f + 1).astype(jnp.bfloat16) * lyf
+                        (ygrid == y0f).astype(mmd) * (1 - lyf)
+                        + (ygrid == y0f + 1).astype(mmd) * lyf
                     )  # [B,Q,H]
                     wx = (
-                        (xgrid == x0f).astype(jnp.bfloat16) * (1 - lxf)
-                        + (xgrid == x0f + 1).astype(jnp.bfloat16) * lxf
+                        (xgrid == x0f).astype(mmd) * (1 - lxf)
+                        + (xgrid == x0f + 1).astype(mmd) * lxf
                     )  # [B,Q,W]
                     d = wx[:, :, :, None] * gq[:, :, None, :]  # [B,Q,W,cg]
                     gx_g = jnp.einsum(
@@ -354,7 +367,7 @@ def deformable_psroi_pool_fast(
             [trans, jnp.zeros((pad,) + trans.shape[1:], trans.dtype)], axis=0
         ).reshape((n_chunks, roi_chunk) + trans.shape[1:])
 
-    feat_bh = feat.astype(jnp.bfloat16).reshape(B * H, W, C)
+    feat_bh = feat.astype(_mm_dtype()).reshape(B * H, W, C)
 
     def chunk_fn(args):
         crois = args[0]
@@ -380,12 +393,12 @@ def deformable_psroi_pool_fast(
         ).transpose(0, 2, 1, 3).reshape(roi_chunk, E, B * H)
 
         tmp = jnp.einsum(
-            "rtk,kwc->rtwc", wyb.astype(jnp.bfloat16), feat_bh,
+            "rtk,kwc->rtwc", wyb.astype(_mm_dtype()), feat_bh,
             preferred_element_type=jnp.float32,
         )  # [Rc, E, W, C]
         patch = jnp.einsum(
-            "rsw,rtwc->rtsc", wx.astype(jnp.bfloat16),
-            tmp.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+            "rsw,rtwc->rtsc", wx.astype(_mm_dtype()),
+            tmp.astype(_mm_dtype()), preferred_element_type=jnp.float32,
         )  # [Rc, E, E, C]
         cnt = (vy[:, :, None] & vx[:, None, :]).astype(jnp.float32)
 
@@ -432,8 +445,8 @@ def deformable_psroi_pool_fast(
             roi_chunk, P * P, E * E
         )
         pooled = jnp.einsum(
-            "rbe,rec->rbc", wf.astype(jnp.bfloat16),
-            patch.reshape(roi_chunk, E * E, C).astype(jnp.bfloat16),
+            "rbe,rec->rbc", wf.astype(_mm_dtype()),
+            patch.reshape(roi_chunk, E * E, C).astype(_mm_dtype()),
             preferred_element_type=jnp.float32,
         ).reshape(roi_chunk, P, P, C)
         n = jnp.einsum(

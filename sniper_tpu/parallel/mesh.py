@@ -3,9 +3,12 @@
 SNIPER's parallelism is data parallelism (the reference's only strategy:
 kvstore-device gradient aggregation over 8 GPUs, main_train.py:89-94,144).
 The TPU-native equivalent: a 1-D ``jax.sharding.Mesh`` over the 'data'
-axis; the train step runs under ``shard_map`` with per-device BatchNorm
-(reference semantics) and explicit ``psum``/``pmean`` gradient reduction
-riding ICI. Params are replicated.
+axis; the train step is a plain ``jit`` whose batch inputs are sharded
+along dim 0 and whose params are replicated — XLA's auto-partitioner
+inserts the gradient all-reduce over ICI, and BatchNorm statistics are
+computed over the global batch (cross-replica sync-BN; a deliberate,
+documented deviation from the reference's per-GPU BN — see
+ARCHITECTURE.md and train/trainer.py).
 
 A CNN detector has no sequence/expert axes, so TP/PP/SP/EP meshes are
 deliberately absent (SURVEY.md §2.10); the mesh helper still accepts an

@@ -64,7 +64,7 @@ def create_train_state(model, cfg, sample_batch, tx, seed: int = 0):
 def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
                     rpn_batch_size: int = 256, with_autofocus: bool = False,
                     with_mask: bool = False, rpn_only: bool = False,
-                    axis: str = "data"):
+                    ohem_rois: int = 0, axis: str = "data"):
     """Build the jitted data-parallel train step.
 
     Returns step(state, batch, key) -> (state, metrics). ``batch``
@@ -85,7 +85,7 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
         loss, metrics = total_loss(
             out, batch, batch_images=batch_images_global,
             rpn_batch_size=rpn_batch_size, with_autofocus=with_autofocus,
-            with_mask=with_mask, rpn_only=rpn_only,
+            with_mask=with_mask, rpn_only=rpn_only, ohem_rois=ohem_rois,
         )
         # train-visible accuracy metrics (reference metric.py set)
         if not rpn_only:
