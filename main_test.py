@@ -61,9 +61,10 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
     init_inference_crops(roidb)
     forward = make_forward(model, variables)
     tester = Tester(forward, cfg, dataset.num_classes)
+    with_masks = bool(getattr(model, "with_mask", False))
 
     n_scales = len(cfg.TEST.SCALES)
-    scale_dets = []
+    scale_dets, scale_masks = [], []
     for s in range(n_scales):
         batches = TestChipIterator(roidb, cfg, s, cfg.TEST.BATCH_IMAGES[s]
                                    if isinstance(cfg.TEST.BATCH_IMAGES, (list, tuple))
@@ -74,16 +75,29 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
             if isinstance(cfg.TEST.DO_PRUNING, (list, tuple))
             else bool(cfg.TEST.DO_PRUNING)
         )
-        all_boxes, all_maps = tester.get_detections(
+        out = tester.get_detections(
             iter(batches), roidb, do_pruning=do_pruning, autofocus=autofocus,
+            with_masks=with_masks,
         )
+        all_boxes, all_maps = out[0], out[1]
         scale_dets.append(all_boxes)
+        if with_masks:
+            scale_masks.append(out[2])
         print(f"scale {s}: done")
         if autofocus:
             add_chips(roidb, all_maps, s, cfg)
         with open(os.path.join(out_dir, f"dets_scale{s}.pkl"), "wb") as f:
             pickle.dump(all_boxes, f)
 
+    if with_masks:
+        final, final_masks = tester.aggregate(
+            scale_dets, len(roidb), scale_cls_masks=scale_masks,
+        )
+        stats = dataset.evaluate_detections(final, roidb)
+        if hasattr(dataset, "evaluate_segmentations"):
+            segm_stats = dataset.evaluate_segmentations(final_masks, roidb)
+            stats = {"bbox": stats, "segm": segm_stats}
+        return stats
     final = tester.aggregate(scale_dets, len(roidb))
     return dataset.evaluate_detections(final, roidb)
 
@@ -166,6 +180,13 @@ def main():
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         logger.info(f"restored checkpoint from {ckpt_dir}")
+    elif str(cfg.network.pretrained or "").strip():
+        # no orbax run dir: import a reference-format checkpoint
+        # (.params/.npz) directly, like the reference's load_param
+        # (main_test.py:54-55, utils.py:96-99)
+        from sniper_tpu.train.pretrained import load_pretrained
+
+        variables, _ = load_pretrained(cfg, variables, logger)
     else:
         logger.info("no checkpoint found; using random init")
 
