@@ -36,8 +36,19 @@ class COCODataset:
         self.load_mask = load_mask
         self.name = f"COCO_{image_set}"
 
+        # view mapping: eval splits whose images live in another set's
+        # directory (reference lib/dataset/coco.py:93-98)
+        view_map = {
+            "minival2014": "val2014",
+            "valminusminival2014": "val2014",
+            "test-dev2015": "test2015",
+            "test-dev2017": "test2017",
+        }
+        self.data_name = view_map.get(image_set, image_set)
+        # test splits ship box-less image_info annotation files
+        prefix = "image_info" if "test" in image_set else "instances"
         ann_file = os.path.join(
-            data_path, "annotations", f"instances_{image_set}.json"
+            data_path, "annotations", f"{prefix}_{image_set}.json"
         )
         with open(ann_file) as f:
             ann = json.load(f)
@@ -60,8 +71,9 @@ class COCODataset:
         self.result_path = os.path.join(root_path, "results", self.name)
 
     def image_path(self, im):
-        # standard layout: <data_path>/<image_set>/<file_name>
-        return os.path.join(self.data_path, self.image_set, im["file_name"])
+        # standard layout: <data_path>/<data_name>/<file_name> (view
+        # mapping sends e.g. minival2014 images to val2014/)
+        return os.path.join(self.data_path, self.data_name, im["file_name"])
 
     def _entry(self, im_id):
         im = self.images[im_id]
@@ -153,4 +165,25 @@ class COCODataset:
             with open(out, "w") as f:
                 json.dump(results, f)
         ev = COCOEvaluator(self, roidb)
-        return ev.evaluate(results)
+        return ev.evaluate(results, per_category=True)
+
+    def evaluate_segmentations(self, all_boxes_masks, roidb, save_json=True):
+        """Score instance masks (iouType='segm'; reference
+        lib/dataset/coco.py:264-336). all_boxes_masks[cls][img] =
+        (dets [N,5], mask_probs [N,S,S])."""
+        from sniper_tpu.data.coco_eval import COCOEvaluator
+        from sniper_tpu.infer.masks import masks_to_results
+
+        results = masks_to_results(
+            all_boxes_masks, roidb, self.class_to_cat_id, self.num_classes
+        )
+        if save_json:
+            os.makedirs(self.result_path, exist_ok=True)
+            out = os.path.join(
+                self.result_path,
+                f"segmentations_{self.image_set}_results.json",
+            )
+            with open(out, "w") as f:
+                json.dump(results, f)
+        ev = COCOEvaluator(self, roidb, iou_type="segm")
+        return ev.evaluate(results, per_category=True)

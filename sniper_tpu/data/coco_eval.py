@@ -15,11 +15,21 @@ star, so the official protocol is reimplemented faithfully:
 - greedy matching in score order, preferring non-ignored GTs (ignored
   GTs sorted last and only matched if nothing real fits),
 - precision envelope interpolation; categories with no GTs excluded.
+
+``iou_type='segm'`` scores instance masks with the same protocol
+(reference lib/dataset/coco.py:264-336 with iouType='segm'): IoU over
+decoded RLE masks, crowd IoU = intersection / det area, GT ignore by
+annotation area. GT polygons are rasterized with cv2.fillPoly (boundary
+pixels may differ from pycocotools' polygon scan by <=1px; RLE GTs are
+exact). Verified against the real pycocotools protocol on the canned
+fixture in tests/fixtures/cocoeval_golden.json.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from sniper_tpu.infer.masks import rle_to_binary_mask
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
@@ -55,11 +65,53 @@ def iou_xywh(dts, gts, iscrowd):
     return np.where(inter > 0, inter / union, 0.0)
 
 
+def segmentation_to_mask(segm, h: int, w: int) -> np.ndarray:
+    """COCO segmentation (polygon list | uncompressed RLE dict) -> binary
+    mask [h, w]."""
+    if isinstance(segm, dict):
+        return rle_to_binary_mask(segm)
+    import cv2
+
+    m = np.zeros((h, w), np.uint8)
+    polys = [
+        np.asarray(p, np.float64).reshape(-1, 2).round().astype(np.int32)
+        for p in segm
+        if len(p) >= 6
+    ]
+    if polys:
+        cv2.fillPoly(m, polys, 1)
+    return m
+
+
+def iou_masks(dts, gts, iscrowd):
+    """pycocotools mask IoU: dts/gts lists of binary masks -> [D,G];
+    crowd GT -> intersection / det area."""
+    out = np.zeros((len(dts), len(gts)))
+    if not len(dts) or not len(gts):
+        return out
+    d = np.stack([m.reshape(-1).astype(bool) for m in dts])
+    g = np.stack([m.reshape(-1).astype(bool) for m in gts])
+    inter = (d.astype(np.float64) @ g.T.astype(np.float64))
+    da = d.sum(axis=1, dtype=np.float64)[:, None]
+    ga = g.sum(axis=1, dtype=np.float64)[None, :]
+    union = np.where(np.asarray(iscrowd)[None, :], da, da + ga - inter)
+    return np.where(
+        (inter > 0) & (union > 0), inter / np.maximum(union, 1e-12), 0.0
+    )
+
+
 class COCOEvaluator:
-    def __init__(self, dataset, roidb, max_dets=(1, 10, 100)):
+    def __init__(self, dataset, roidb, max_dets=(1, 10, 100),
+                 iou_type: str = "bbox"):
         self.ds = dataset
         self.image_ids = [r["im_id"] for r in roidb]
         self.max_dets = max_dets
+        if iou_type not in ("bbox", "segm"):
+            raise ValueError(f"iou_type {iou_type!r}")
+        self.iou_type = iou_type
+        self.im_size = {
+            r["im_id"]: (int(r["height"]), int(r["width"])) for r in roidb
+        }
 
     def _gts(self, im_id, cls):
         cat_id = self.ds.class_to_cat_id[cls]
@@ -69,9 +121,10 @@ class COCOEvaluator:
                 out.append(a)
         return out
 
-    def evaluate(self, results):
+    def evaluate(self, results, per_category: bool = False):
         """results: COCO results list. Returns the standard stats dict and
-        prints the 12-number summary."""
+        prints the 12-number summary; ``per_category`` adds a per-class
+        AP table (reference lib/dataset/coco.py:357-375)."""
         # index detections by (image, class)
         dets: dict[tuple[int, int], list] = {}
         for r in results:
@@ -166,6 +219,20 @@ class COCOEvaluator:
         }
         for name, v in stats.items():
             print(f"  {name}: {v:.3f}")
+        if per_category:
+            a0 = list(AREA_RNGS).index("all")
+            m_last = len(self.max_dets) - 1
+            names = getattr(self.ds, "classes", None)
+            table = {}
+            for k in range(K):
+                p = precision[:, :, k, a0, m_last]
+                p = p[p > -1]
+                cat = names[k + 1] if names else str(k + 1)
+                table[cat] = float(np.mean(p)) if p.size else float("nan")
+            width = max(len(c) for c in table) if table else 1
+            for cat, v in table.items():
+                print(f"  {cat:<{width}} : {v:.3f}")
+            stats["per_category"] = table
         return stats
 
     def _eval_img(self, im_id, cls, dts, area_items):
@@ -178,15 +245,34 @@ class COCOEvaluator:
         if len(gts) == 0 and len(dts) == 0:
             return None
         dts = sorted(dts, key=lambda d: -d["score"])[: max(self.max_dets)]
-        dt_boxes = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
         dt_scores = np.array([d["score"] for d in dts])
-        gt_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
         crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], dtype=bool)
         gt_area = np.array(
             [g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts],
             dtype=np.float64,
         )
-        dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if len(dts) else np.zeros(0)
+        if self.iou_type == "segm":
+            h, w = self.im_size[im_id]
+            dt_masks = [
+                segmentation_to_mask(d["segmentation"], h, w) for d in dts
+            ]
+            gt_masks = [
+                segmentation_to_mask(g["segmentation"], h, w) for g in gts
+            ]
+            ious_all = iou_masks(dt_masks, gt_masks, crowd)
+            # det area = mask pixel count (pycocotools loadRes for segm)
+            dt_area = np.array([m.sum() for m in dt_masks], np.float64)
+        else:
+            dt_boxes = np.array(
+                [d["bbox"] for d in dts], np.float64
+            ).reshape(-1, 4)
+            gt_boxes = np.array(
+                [g["bbox"] for g in gts], np.float64
+            ).reshape(-1, 4)
+            ious_all = iou_xywh(dt_boxes, gt_boxes, crowd)
+            dt_area = (
+                dt_boxes[:, 2] * dt_boxes[:, 3] if len(dts) else np.zeros(0)
+            )
 
         T = len(IOU_THRS)
         out = []
@@ -195,7 +281,7 @@ class COCOEvaluator:
             # sort gts: non-ignored first (stable), pycocotools order
             gorder = np.argsort(gt_ig0, kind="mergesort")
             g_ig = gt_ig0[gorder]
-            ious = iou_xywh(dt_boxes, gt_boxes[gorder], crowd[gorder])
+            ious = ious_all[:, gorder]
 
             D, G = len(dts), len(gts)
             matched = np.zeros((T, D), bool)

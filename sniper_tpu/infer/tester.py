@@ -92,7 +92,8 @@ class Tester:
 
     def detect(self, data, im_info, im_scales):
         """One padded batch -> per-image (scores [N,C], boxes [N,4]) in
-        original image coordinates, plus focus maps if present.
+        original image coordinates, plus focus maps and per-roi instance
+        masks if present.
 
         The forward may return either the detector's dict or a packed
         array (pack_detections) — packed costs one host fetch instead of
@@ -110,8 +111,11 @@ class Tester:
         valid = np.asarray(out["roi_valid"])
         if maps is None and "focus_prob" in out:
             maps = np.asarray(out["focus_prob"])
+        mask_prob = (
+            np.asarray(out["mask_prob"]) if "mask_prob" in out else None
+        )
 
-        scores_list, boxes_list, maps_list = [], [], []
+        scores_list, boxes_list, maps_list, masks_list = [], [], [], []
         for i in range(rois.shape[0]):
             boxes = bbox_pred(rois[i, :, 1:], deltas[i])
             boxes = clip_boxes(boxes, im_info[i][:2])
@@ -119,23 +123,26 @@ class Tester:
             scores = np.where(valid[i][:, None], cls_prob[i], 0.0)
             scores_list.append(scores)
             boxes_list.append(boxes)
+            if mask_prob is not None:
+                masks_list.append(mask_prob[i])
             if maps is not None:
                 # crop the map to the chip's actual extent at stride 16
                 fh = int(np.ceil(im_info[i][0] / 16.0))
                 fw = int(np.ceil(im_info[i][1] / 16.0))
                 maps_list.append(maps[i][:fh, :fw])
-        return scores_list, boxes_list, maps_list
+        return scores_list, boxes_list, maps_list, masks_list
 
     def get_detections(
         self, batches, roidb, cls_thresh=1e-3, per_chip_nms=False,
-        do_pruning=False, autofocus=False,
+        do_pruning=False, autofocus=False, with_masks=False,
     ):
         """Run detection over an iterable of batches.
 
         ``batches`` yields dicts with data [B,H,W,3], im_info [B,3],
         im_scales [B], im_ids [B], chip_ids [B], valid [B] (padding
         mask for partial batches). Returns (all_boxes, all_maps) in the
-        reference layout.
+        reference layout; with_masks adds all_masks ([cls][img][chip]
+        -> [N,S,S] aligned with all_boxes rows).
         """
         n_images = len(roidb)
         n_chips = [len(r["inference_crops"]) for r in roidb]
@@ -145,13 +152,18 @@ class Tester:
             for _ in range(self.num_classes)
         ]
         all_maps = [[None] * n_chips[i] for i in range(n_images)]
+        all_masks = (
+            [[[None] * n_chips[i] for i in range(n_images)]
+             for _ in range(self.num_classes)]
+            if with_masks else None
+        )
 
         import time
 
         detect_time, post_time, n_done = 0.0, 0.0, 0
         for batch in batches:
             t0 = time.time()
-            scores, boxes, maps = self.detect(
+            scores, boxes, maps, masks = self.detect(
                 batch["data"], batch["im_info"], batch["im_scales"]
             )
             detect_time += time.time() - t0
@@ -168,9 +180,16 @@ class Tester:
                     dets = np.hstack(
                         [boxes[i][inds, :4], scores[i][inds, j, None]]
                     ).astype(np.float32)
-                    if per_chip_nms:
-                        dets = self.nms(dets) if dets.shape[0] else dets
+                    m = masks[i][inds] if with_masks and masks else None
+                    if per_chip_nms and dets.shape[0]:
+                        if m is not None:
+                            dets, keep = self.nms(dets, return_indices=True)
+                            m = m[keep]
+                        else:
+                            dets = self.nms(dets)
                     all_boxes[j][im_id][chip_id] = dets
+                    if all_masks is not None:
+                        all_masks[j][im_id][chip_id] = m
 
                 if do_pruning:
                     chip = roidb[im_id]["inference_crops"][chip_id]
@@ -192,6 +211,10 @@ class Tester:
                         all_boxes[j][im_id][chip_id] = (
                             d[keep] if keep else np.zeros((0, 5), np.float32)
                         )
+                        if all_masks is not None and \
+                                all_masks[j][im_id][chip_id] is not None:
+                            all_masks[j][im_id][chip_id] = \
+                                all_masks[j][im_id][chip_id][keep]
             post_time += time.time() - t0
             n_done += int(np.sum(batch["valid"]))
             if n_done:
@@ -201,27 +224,41 @@ class Tester:
                     f"{detect_time / n_done:.4f}s/im, Post Processing: "
                     f"{post_time / n_done:.4f}s/im"
                 )
+        if with_masks:
+            return all_boxes, all_maps, all_masks
         return all_boxes, all_maps
 
-    def aggregate(self, scale_cls_dets, num_images: int):
+    def aggregate(self, scale_cls_dets, num_images: int,
+                  scale_cls_masks=None, mask_size: int = 28):
         """Merge per-scale detections with VALID_RANGES + NMS + cap.
 
         scale_cls_dets: list over scales of all_boxes ([cls][img][chip]).
-        Returns all_boxes[cls][img] -> [N,5].
+        Returns all_boxes[cls][img] -> [N,5]; when scale_cls_masks (same
+        nesting, [N,S,S] rows aligned with dets) is given, also returns
+        all_masks[cls][img] -> (dets, masks) pairs consumable by
+        dataset.evaluate_segmentations.
         """
         valid_ranges = self.cfg.TEST.VALID_RANGES
         assert len(scale_cls_dets) == len(valid_ranges), (
             "a valid range per test scale is required"
         )
+        with_masks = scale_cls_masks is not None
         all_boxes = [
             [np.zeros((0, 5), np.float32) for _ in range(num_images)]
             for _ in range(self.num_classes)
         ]
+        all_masks = (
+            [[None for _ in range(num_images)]
+             for _ in range(self.num_classes)]
+            if with_masks else None
+        )
         for i in range(num_images):
             for j in range(1, self.num_classes):
-                agg = []
-                for dets_s, vr in zip(scale_cls_dets, valid_ranges):
-                    for cls_dets in dets_s[j][i]:
+                agg, agg_m = [], []
+                for s, (dets_s, vr) in enumerate(
+                    zip(scale_cls_dets, valid_ranges)
+                ):
+                    for c, cls_dets in enumerate(dets_s[j][i]):
                         if cls_dets is None or len(cls_dets) == 0:
                             continue
                         d1 = cls_dets[:, 2] - cls_dets[:, 0]
@@ -234,11 +271,33 @@ class Tester:
                             ok &= areas <= vr[1] * vr[1]
                         if ok.any():
                             agg.append(cls_dets[ok])
+                            if with_masks:
+                                m = scale_cls_masks[s][j][i][c]
+                                agg_m.append(
+                                    np.asarray(m)[ok] if m is not None
+                                    else np.zeros(
+                                        (int(ok.sum()), mask_size, mask_size),
+                                        np.float32,
+                                    )
+                                )
                 merged = (
                     np.vstack(agg).astype(np.float32)
                     if agg else np.zeros((0, 5), np.float32)
                 )
-                all_boxes[j][i] = self.nms(merged) if merged.shape[0] else merged
+                if with_masks:
+                    merged_m = (
+                        np.concatenate(agg_m, axis=0) if agg_m
+                        else np.zeros((0, mask_size, mask_size), np.float32)
+                    )
+                    if merged.shape[0]:
+                        merged, keep = self.nms(merged, return_indices=True)
+                        merged_m = merged_m[keep]
+                    all_boxes[j][i] = merged
+                    all_masks[j][i] = (merged, merged_m)
+                else:
+                    all_boxes[j][i] = (
+                        self.nms(merged) if merged.shape[0] else merged
+                    )
 
             max_per_image = self.cfg.TEST.MAX_PER_IMAGE
             if max_per_image > 0:
@@ -250,6 +309,12 @@ class Tester:
                     for j in range(1, self.num_classes):
                         keep = all_boxes[j][i][:, -1] >= thresh
                         all_boxes[j][i] = all_boxes[j][i][keep]
+                        if with_masks:
+                            all_masks[j][i] = (
+                                all_boxes[j][i], all_masks[j][i][1][keep]
+                            )
+        if with_masks:
+            return all_boxes, all_masks
         return all_boxes
 
     def extract_proposals(self, batches, roidb):

@@ -60,16 +60,24 @@ def soft_nms_np(
     Nt: float = 0.3,
     threshold: float = 0.001,
     method: int = 2,
-) -> np.ndarray:
+    return_indices: bool = False,
+):
     """Soft-NMS, bit-faithful to the reference Cython kernel.
 
     ``boxes`` is [N,5] float32 (xyxy, score); returns the surviving
     [M,5] rows in the reference's emission order (max-score selection
     sort with swap; decayed boxes below ``threshold`` replaced by the
     dynamic tail). Sequential by nature — float32 arithmetic throughout
-    to match the Cython float locals.
+    to match the Cython float locals. ``return_indices`` also returns
+    each surviving row's ORIGINAL index (for carrying per-detection
+    payloads like instance masks through the rescoring).
     """
     b = np.array(boxes, dtype=np.float32, copy=True)
+    if return_indices:
+        # ride an index column through the row swaps (cols 0-4 drive the
+        # algorithm; the extra column is inert)
+        idx_col = np.arange(b.shape[0], dtype=np.float32)[:, None]
+        b = np.concatenate([b, idx_col], axis=1)
     N = b.shape[0]
     i = 0
     while i < N:
@@ -102,6 +110,8 @@ def soft_nms_np(
                         pos -= 1
             pos += 1
         i += 1
+    if return_indices:
+        return b[:N, :5], b[:N, 5].astype(np.int64)
     return b[:N]
 
 
@@ -117,11 +127,14 @@ class NMSWrapper:
         self.thresh = thresh
         self.sigma = sigma
 
-    def __call__(self, dets: np.ndarray) -> np.ndarray:
+    def __call__(self, dets: np.ndarray, return_indices: bool = False):
         if self.thresh > 0:
             keep = nms_np(dets.astype(np.float32), self.thresh)
+            if return_indices:
+                return dets[keep], np.asarray(keep, np.int64)
             return dets[keep]
-        return soft_nms_np(dets, sigma=self.sigma, method=2)
+        return soft_nms_np(dets, sigma=self.sigma, method=2,
+                           return_indices=return_indices)
 
 
 def nms_jax(

@@ -57,7 +57,7 @@ def batch_for(planted, scale=1.0, hw=(256, 256), im_ids=None, chip_ids=None):
 def test_detect_rescales_boxes():
     planted = [[(np.array([20, 20, 60, 60]), 1, 0.9)]]
     t = Tester(fake_forward(planted), make_cfg(), C)
-    scores, boxes, _ = t.detect(
+    scores, boxes, _, _ = t.detect(
         np.zeros((1, 128, 128, 3)), np.array([[128, 128, 2.0]]), [2.0]
     )
     # chip coords / 2 -> image coords
@@ -148,3 +148,88 @@ def test_aggregate_max_per_image():
     out = t.aggregate([boxes], 1)
     assert out[1][0].shape[0] == 2
     assert out[1][0][:, 4].min() >= 0.5
+
+
+def fake_forward_with_masks(planted):
+    """fake_forward + per-roi mask_prob planted as solid squares."""
+    base = fake_forward(planted)
+
+    def fn(data, im_info):
+        out = base(data, im_info)
+        b = data.shape[0]
+        masks = np.zeros((b, N, 28, 28), np.float32)
+        masks[:, :, 4:24, 4:24] = 1.0  # solid interior
+        out["mask_prob"] = masks
+        return out
+
+    return fn
+
+
+def test_mask_flow_through_detect_aggregate_and_segm_eval():
+    """Masks ride along detections through get_detections -> aggregate
+    (soft-NMS index tracking) -> evaluate_segmentations, and a planted
+    perfect detection scores segm AP 1.0."""
+    from types import SimpleNamespace
+
+    from sniper_tpu.infer.masks import binary_mask_to_rle, paste_mask
+
+    cfg = make_cfg()
+    cfg.TEST.VALID_RANGES = [(-1, -1)]
+    roidb = [{
+        "inference_crops": [[0, 0, 255, 255]], "width": 256, "height": 256,
+        "im_id": 7,
+    }]
+    box = np.array([40, 40, 120, 120])
+    planted = [[(box, 1, 0.9)]]
+    t = Tester(fake_forward_with_masks(planted), cfg, C)
+    all_boxes, _, all_masks = t.get_detections(
+        [batch_for(planted)], roidb, cls_thresh=0.5, with_masks=True
+    )
+    assert all_masks[1][0][0].shape == (1, 28, 28)
+    final, final_masks = t.aggregate(
+        [all_boxes], 1, scale_cls_masks=[all_masks]
+    )
+    assert final[1][0].shape[0] == 1
+    dets, masks = final_masks[1][0]
+    assert masks.shape == (1, 28, 28)
+
+    # GT = exactly the pasted planted mask -> segm AP must be 1.0
+    gt_mask = paste_mask(masks[0], dets[0, :4], 256, 256)
+    ds = SimpleNamespace(
+        num_classes=C,
+        classes=["__background__", "a", "b", "c"],
+        cat_id_to_class={11: 1, 12: 2, 13: 3},
+        class_to_cat_id={1: 11, 2: 12, 3: 13},
+        anns_by_image={7: [{
+            "image_id": 7, "category_id": 11,
+            "bbox": [float(box[0]), float(box[1]),
+                     float(box[2] - box[0]), float(box[3] - box[1])],
+            "area": float(gt_mask.sum()), "iscrowd": 0,
+            "segmentation": binary_mask_to_rle(gt_mask),
+        }]},
+    )
+    from sniper_tpu.data.coco_eval import COCOEvaluator
+    from sniper_tpu.infer.masks import masks_to_results
+
+    results = masks_to_results(final_masks, roidb, ds.class_to_cat_id, C)
+    ev = COCOEvaluator(ds, roidb, iou_type="segm")
+    stats = ev.evaluate(results)
+    assert stats["AP"] == 1.0 and stats["AP75"] == 1.0
+
+
+def test_soft_nms_index_tracking():
+    """return_indices keeps payload rows aligned with survivors."""
+    from sniper_tpu.ops.nms import soft_nms_np
+
+    rng = np.random.RandomState(3)
+    dets = np.zeros((12, 5), np.float32)
+    dets[:, 0] = rng.uniform(0, 200, 12)
+    dets[:, 1] = rng.uniform(0, 200, 12)
+    dets[:, 2] = dets[:, 0] + rng.uniform(20, 80, 12)
+    dets[:, 3] = dets[:, 1] + rng.uniform(20, 80, 12)
+    dets[:, 4] = rng.uniform(0.01, 1.0, 12)
+    plain = soft_nms_np(dets, sigma=0.55, method=2)
+    kept, idx = soft_nms_np(dets, sigma=0.55, method=2, return_indices=True)
+    np.testing.assert_allclose(kept, plain)
+    # surviving rows' geometry matches the original rows they point to
+    np.testing.assert_allclose(kept[:, :4], dets[idx, :4])
