@@ -126,6 +126,55 @@ def main():
     dt = time.perf_counter() - t0
     ips = images / dt
 
+    # --- per-scale step time + FLOPs/MFU anchor -----------------------
+    # XLA's own cost analysis gives the per-program FLOPs; relating the
+    # measured time to the chip's bf16 peak quantifies "fast" (13 img/s
+    # is meaningless without knowing the ceiling).
+    peak_by_kind = {  # dense bf16 peak FLOP/s per chip (public specs)
+        "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+        "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+        "TPU v6e": 918e12,
+    }
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in peak_by_kind.items() if k in kind), None)
+    per_scale = []
+    total_flops = 0.0
+    reps = [2, 2, 1]
+    for (data, im_info, b, s), rep in zip(inputs, reps):
+        flops = None
+        try:
+            # fn is already jitted: lower/compile hits the jit cache
+            cost = fn.lower(variables, data, im_info).compile().cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        t1 = time.perf_counter()
+        n_iter = 4
+        for _ in range(n_iter):
+            np.asarray(fn(variables, data, im_info))
+        step_s = (time.perf_counter() - t1) / n_iter
+        entry = {
+            "canvas": list(data.shape[1:3]), "batch": b,
+            "step_ms": round(step_s * 1e3, 1),
+            "img_per_s": round(b / step_s, 2),
+        }
+        if flops:
+            total_flops += flops * rep
+            entry["tflops"] = round(flops / 1e12, 2)
+            entry["mfu"] = round(flops / step_s / (peak or 197e12), 4)
+        per_scale.append(entry)
+    mfu = round(total_flops / (dt / n_rounds) / (peak or 197e12), 4) \
+        if total_flops else None
+
+    import sys
+
+    print(json.dumps({
+        "device": kind, "peak_bf16_flops": peak,
+        "per_scale": per_scale,
+        "round_flops_T": round(total_flops / 1e12, 2),
+        "pipeline_mfu": mfu,
+    }), file=sys.stderr)
     print(json.dumps({
         "metric": "multiscale_inference_throughput_r101",
         "value": round(ips, 3),

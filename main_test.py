@@ -66,28 +66,52 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
     n_scales = len(cfg.TEST.SCALES)
     scale_dets, scale_masks = [], []
     for s in range(n_scales):
-        batches = TestChipIterator(roidb, cfg, s, cfg.TEST.BATCH_IMAGES[s]
-                                   if isinstance(cfg.TEST.BATCH_IMAGES, (list, tuple))
-                                   else cfg.TEST.BATCH_IMAGES)
         autofocus = bool(cfg.TEST.AUTO_FOCUS) and s < n_scales - 1
         do_pruning = (
             cfg.TEST.DO_PRUNING[s]
             if isinstance(cfg.TEST.DO_PRUNING, (list, tuple))
             else bool(cfg.TEST.DO_PRUNING)
         )
-        out = tester.get_detections(
-            iter(batches), roidb, do_pruning=do_pruning, autofocus=autofocus,
-            with_masks=with_masks,
+        use_cache = (
+            cfg.TEST.USE_CACHE[s]
+            if isinstance(cfg.TEST.USE_CACHE, (list, tuple))
+            else bool(cfg.TEST.USE_CACHE)
         )
-        all_boxes, all_maps = out[0], out[1]
+        cache_file = os.path.join(out_dir, f"dets_scale{s}.pkl")
+        # per-scale detection cache: a killed multi-scale run resumes
+        # from the scales already on disk (reference inference.py:507-515)
+        if use_cache and os.path.exists(cache_file):
+            with open(cache_file, "rb") as f:
+                cached = pickle.load(f)
+            all_boxes = cached["dets"]
+            all_maps = cached.get("maps")
+            if with_masks:
+                scale_masks.append(cached.get("masks"))
+            print(f"scale {s}: loaded from cache {cache_file}")
+        else:
+            batches = TestChipIterator(
+                roidb, cfg, s,
+                cfg.TEST.BATCH_IMAGES[s]
+                if isinstance(cfg.TEST.BATCH_IMAGES, (list, tuple))
+                else cfg.TEST.BATCH_IMAGES,
+            )
+            out = tester.get_detections(
+                iter(batches), roidb, do_pruning=do_pruning,
+                autofocus=autofocus, with_masks=with_masks,
+            )
+            all_boxes, all_maps = out[0], out[1]
+            if with_masks:
+                scale_masks.append(out[2])
+            print(f"scale {s}: done")
+            with open(cache_file, "wb") as f:
+                pickle.dump(
+                    {"dets": all_boxes, "maps": all_maps,
+                     "masks": out[2] if with_masks else None},
+                    f,
+                )
         scale_dets.append(all_boxes)
-        if with_masks:
-            scale_masks.append(out[2])
-        print(f"scale {s}: done")
         if autofocus:
             add_chips(roidb, all_maps, s, cfg)
-        with open(os.path.join(out_dir, f"dets_scale{s}.pkl"), "wb") as f:
-            pickle.dump(all_boxes, f)
 
     if with_masks:
         final, final_masks = tester.aggregate(

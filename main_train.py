@@ -76,6 +76,33 @@ def build_roidb(cfg, logger):
     roidb = filter_roidb(roidb, cfg.TRAIN.FG_THRESH, cfg.TRAIN.BG_THRESH_HI,
                          cfg.TRAIN.BG_THRESH_LO)
     logger.info(f"roidb: {len(roidb)} images")
+
+    # roidb-level regression-target statistics (reference
+    # main_train.py:69, bbox_regression.py:56-113). Precomputed -> the
+    # config constants pass through unchanged; otherwise the measured
+    # class-agnostic fg means/stds replace them, so the in-graph target
+    # normalization and the inference-time denorm both use them.
+    from sniper_tpu.data.bbox_regression import add_bbox_regression_targets
+
+    means, stds = add_bbox_regression_targets(roidb, cfg)
+    if not cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED:
+        # agnostic: row 1 is the shared fg row; else average the fg rows
+        m = means.reshape(-1, 4)[1:].mean(axis=0)
+        s = stds.reshape(-1, 4)[1:].mean(axis=0)
+        if (s > 1e-3).all():
+            cfg.TRAIN.BBOX_MEANS = tuple(float(v) for v in m)
+            cfg.TRAIN.BBOX_STDS = tuple(float(v) for v in s)
+            logger.info(
+                f"empirical bbox means={cfg.TRAIN.BBOX_MEANS} "
+                f"stds={cfg.TRAIN.BBOX_STDS}"
+            )
+        else:
+            # degenerate statistics (e.g. GT-only roidb: every target is
+            # exactly zero) would divide the in-graph normalization by ~0
+            logger.info(
+                f"empirical bbox stds degenerate ({s}); keeping config "
+                f"constants {cfg.TRAIN.BBOX_STDS}"
+            )
     return roidb
 
 

@@ -20,17 +20,25 @@ per batch:
 - valid_ranges scaled into chip pixels (lo*scale or 0 / hi*scale or
   chip_size),
 
-and a 1-deep background prefetch thread overlaps host work with device
-steps. Single-process by design: the reference burns a 64-process pool
-on Python-2 loops; the vectorized NumPy pipeline here feeds the same
-batch shapes from one core (and remains trivially shardable across
-hosts by splitting the roidb).
+and a background prefetch thread overlaps host work with device steps.
+
+Parallelism: the reference burns a 64-process pool on Python-2 loops
+(MNIteratorE2E.py:139,173). Here the per-epoch schedule (which chip each
+batch slot gets) is resolved serially at reset() so batch assembly is a
+pure function of (im_idx, crop_id, per-slot rng); a thread pool then
+assembles the samples of a batch concurrently — cv2 imread/resize and
+the large-array NumPy work in the anchor assigner all release the GIL,
+so threads scale without fork/pickle overhead. TRAIN.NUM_THREAD sets
+the pool width (<=1 restores the serial path). Determinism is per-slot:
+each schedule position derives its own RandomState from the epoch seed,
+so results are independent of thread interleaving.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -63,9 +71,9 @@ def process_chip_image(im_bgr, chip_box, im_scale, chip_size, pixel_means,
     out = np.zeros((chip_size, chip_size, 3), dtype=np.float32)
     h = min(im.shape[0], chip_size)
     w = min(im.shape[1], chip_size)
-    # BGR -> RGB with per-channel mean subtraction
-    for j in range(3):
-        out[:h, :w, j] = im[:h, :w, 2 - j] - pixel_means[2 - j]
+    # BGR -> RGB with per-channel mean subtraction, one fused op
+    means = np.asarray(pixel_means, np.float32)[::-1]
+    np.subtract(im[:h, :w, ::-1], means, out=out[:h, :w], casting="unsafe")
     return out
 
 
@@ -88,8 +96,9 @@ def process_chip_image_rect(im_bgr, chip_box, im_scale, canvas_hw,
     out = np.zeros((h, w, 3), dtype=np.float32)
     d1 = min(im.shape[0], h)
     d2 = min(im.shape[1], w)
-    for j in range(3):
-        out[:d1, :d2, j] = im[:d1, :d2, 2 - j] - pixel_means[2 - j]
+    means = np.asarray(pixel_means, np.float32)[::-1]
+    np.subtract(im[:d1, :d2, ::-1], means, out=out[:d1, :d2],
+                casting="unsafe")
     return out, d1, d2
 
 
@@ -125,6 +134,11 @@ class ChipLoader:
             autofocus=af,
         )
         self.size = 0
+        self.num_workers = int(getattr(cfg.TRAIN, "NUM_THREAD", 1) or 1)
+        self._pool = (
+            ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.num_workers > 1 else None
+        )
 
     def reset(self):
         """Per-epoch chip pipeline; returns total chip count."""
@@ -163,21 +177,37 @@ class ChipLoader:
             return 0
         if chipindex.shape[0] % self.batch_size > 0:
             extra = self.batch_size - (chipindex.shape[0] % self.batch_size)
-            chipindex = np.hstack((chipindex, chipindex[:extra]))
+            # cyclic pad: 'extra' may exceed len(chipindex) when there are
+            # fewer chips than one batch
+            chipindex = np.resize(chipindex, chipindex.shape[0] + extra)
         self.inds = self.rng.permutation(chipindex)
         self.size = len(self.inds)
         self.crop_idx = [0] * len(self.roidb)
         for r in self.roidb:
             r["chip_order"] = self.rng.permutation(np.arange(len(r["crops"])))
+        # Resolve the round-robin chip pick for every schedule slot now
+        # (serial, cheap) so batch assembly below is pure + parallel.
+        self.schedule = []
+        for im_idx in self.inds:
+            r = self.roidb[im_idx]
+            order = r["chip_order"]
+            crop_id = order[self.crop_idx[im_idx] % len(order)]
+            self.crop_idx[im_idx] += 1
+            self.schedule.append((int(im_idx), int(crop_id)))
+        # per-slot RNG base: deterministic given the loader seed + epoch
+        self._slot_seed = int(self.rng.randint(0, 2**31 - 1))
         return chip_count
 
-    def _sample(self, im_idx):
-        """Assemble one training sample (the image's next chip)."""
+    def _sample(self, pos):
+        """Assemble the training sample for schedule slot ``pos``."""
+        im_idx, crop_id = self.schedule[pos]
+        rng = np.random.RandomState((self._slot_seed + pos) % (2**31 - 1))
+        return self._build_sample(im_idx, crop_id, rng)
+
+    def _build_sample(self, im_idx, crop_id, rng):
+        """Pure sample assembly: imread -> chip crop/resize -> RPN targets."""
         cfg = self.cfg
         r = self.roidb[im_idx]
-        order = r["chip_order"]
-        crop_id = order[self.crop_idx[im_idx] % len(order)]
-        self.crop_idx[im_idx] += 1
         chip = r["crops"][crop_id]
 
         im = self.image_loader(r["image"])
@@ -190,7 +220,7 @@ class ChipLoader:
         tgt = self.assigner(
             np.asarray(chip.box), chip.im_scale,
             r["props_in_chips"][crop_id], gtids, r["boxes"],
-            r["max_classes"][gtids], self.rng,
+            r["max_classes"][gtids], rng,
         )
         vr = cfg.TRAIN.VALID_RANGES[chip.scale_idx]
         valid_range = np.array(
@@ -233,10 +263,11 @@ class ChipLoader:
 
     def __iter__(self):
         for start in range(0, self.size, self.batch_size):
-            samples = [
-                self._sample(self.inds[i])
-                for i in range(start, start + self.batch_size)
-            ]
+            positions = range(start, start + self.batch_size)
+            if self._pool is not None:
+                samples = list(self._pool.map(self._sample, positions))
+            else:
+                samples = [self._sample(p) for p in positions]
             yield {
                 k: np.stack([s[k] for s in samples]) for k in samples[0]
             }

@@ -116,6 +116,113 @@ class PascalVOC:
                 pickle.dump(roidb, f)
         return roidb
 
+    def load_selective_search_roidb(self, gt_roidb):
+        """Selective-search proposal roidb from the devkit-format .mat
+        (reference pascal_voc.py:180-201): boxes arrive [y1 x1 y2 x2]
+        1-based; dedupe, drop boxes under config min_size (16), label
+        them against the GTs."""
+        import scipy.io
+
+        from sniper_tpu.data.ds_utils import filter_small_boxes, unique_boxes
+        from sniper_tpu.data.roidb import compute_overlap_fields
+
+        matfile = os.path.join(
+            self.root_path, "selective_search_data", f"{self.name}.mat"
+        )
+        raw = scipy.io.loadmat(matfile)["boxes"].ravel()
+        roidb = []
+        for r, entry_boxes in zip(gt_roidb, raw):
+            boxes = entry_boxes[:, (1, 0, 3, 2)].astype(np.float32) - 1
+            boxes = boxes[unique_boxes(boxes)]
+            boxes = boxes[filter_small_boxes(boxes, 16)]
+            fields = compute_overlap_fields(
+                boxes, r["boxes"], r["gt_classes"], self.num_classes
+            )
+            roidb.append({
+                "image": r["image"], "index": r["index"],
+                "height": r["height"], "width": r["width"],
+                "boxes": boxes,
+                "gt_classes": np.zeros(len(boxes), np.int32),
+                "flipped": False, **fields,
+            })
+        return roidb
+
+    def selective_search_roidb(self, gt_roidb, append_gt=False,
+                               use_cache=True):
+        """SS roidb with pkl cache; optionally merged with GT rows
+        (reference pascal_voc.py:203-227)."""
+        cache = os.path.join(
+            self.root_path, "cache", f"{self.name}_ss_roidb.pkl"
+        )
+        if use_cache and os.path.exists(cache):
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        ss_roidb = self.load_selective_search_roidb(gt_roidb)
+        if append_gt:
+            from sniper_tpu.data.roidb import merge_gt_and_proposals
+
+            ss_roidb = [
+                merge_gt_and_proposals(g, s["boxes"],
+                                       num_classes=self.num_classes)
+                for g, s in zip(gt_roidb, ss_roidb)
+            ]
+        if use_cache:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            with open(cache, "wb") as f:
+                pickle.dump(ss_roidb, f)
+        return ss_roidb
+
+    def segmentation_class_path(self, index):
+        return os.path.join(
+            self.data_path, "SegmentationClass", f"{index}.png"
+        )
+
+    def write_segmentation_results(self, pred_segmentations):
+        """Per-image predicted class-label maps -> paletted PNGs under
+        results/VOC{year}/Segmentation (reference :341-358)."""
+        from PIL import Image
+
+        out_dir = os.path.join(
+            self.result_path, "results", f"VOC{self.year}", "Segmentation"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        palette = voc_palette(256)
+        for index, pred in zip(self.image_index, pred_segmentations):
+            img = Image.fromarray(np.uint8(np.squeeze(pred)))
+            img.putpalette(palette)
+            img.save(os.path.join(out_dir, f"{index}.png"))
+        return out_dir
+
+    def evaluate_segmentations(self, pred_segmentations):
+        """Semantic-segmentation meanIU over SegmentationClass GT PNGs
+        (reference _py_evaluate_segmentation, pascal_voc.py:352-381):
+        GT resized (nearest) to the prediction's shape, 255 = ignore,
+        per-class IU from the accumulated confusion matrix."""
+        import cv2
+        from PIL import Image
+
+        n = self.num_classes
+        confusion = np.zeros((n, n), np.float64)
+        for index, pred in zip(self.image_index, pred_segmentations):
+            pred = np.squeeze(np.asarray(pred)).astype(np.int64)
+            gt = np.array(
+                Image.open(self.segmentation_class_path(index))
+            ).astype(np.float32)
+            gt = cv2.resize(gt, (pred.shape[1], pred.shape[0]),
+                            interpolation=cv2.INTER_NEAREST)
+            keep = gt != 255
+            g = gt[keep].astype(np.int64)
+            p = pred[keep]
+            # vectorized confusion-matrix accumulation
+            confusion += np.bincount(
+                g * n + p, minlength=n * n
+            ).reshape(n, n)
+        pos = confusion.sum(1)
+        res = confusion.sum(0)
+        tp = np.diag(confusion)
+        iu = tp / np.maximum(1.0, pos + res - tp)
+        return {"meanIU": float(iu.mean()), "IU_array": iu}
+
     def write_results(self, all_boxes, roidb):
         """Devkit-format per-class result files (1-based boxes)."""
         os.makedirs(self.result_path, exist_ok=True)
@@ -161,6 +268,21 @@ class PascalVOC:
         mean_ap = float(np.mean([v for v in aps.values() if v >= 0]))
         print(f"VOC mAP ({'07' if use_07 else '12'} metric): {mean_ap:.4f}")
         return {"mAP": mean_ap, "per_class": aps}
+
+
+def voc_palette(num_cls):
+    """Bit-interleaved VOC segmentation color palette (reference
+    get_pallete, pascal_voc.py:310-329)."""
+    palette = [0] * (num_cls * 3)
+    for j in range(num_cls):
+        lab, i = j, 0
+        while lab > 0:
+            palette[j * 3 + 0] |= ((lab >> 0) & 1) << (7 - i)
+            palette[j * 3 + 1] |= ((lab >> 1) & 1) << (7 - i)
+            palette[j * 3 + 2] |= ((lab >> 2) & 1) << (7 - i)
+            i += 1
+            lab >>= 3
+    return palette
 
 
 def voc_ap_from_dets(dets, gt, npos, iou_thresh=0.5, use_07_metric=False):

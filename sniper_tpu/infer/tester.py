@@ -99,6 +99,14 @@ class Tester:
         array (pack_detections) — packed costs one host fetch instead of
         four."""
         out = self.forward_fn(data, im_info)
+        return self.detect_outputs(out, im_info, im_scales)
+
+    def detect_outputs(self, out, im_info, im_scales):
+        """Host half of detect(): decode already-dispatched forward
+        outputs. Splitting dispatch from decode lets get_detections run
+        one batch ahead — the device computes batch N+1 while the host
+        post-processes batch N (the reference gets the same overlap from
+        CONCURRENT_JOBS process pools, inference.py:452-491)."""
         maps = None
         if isinstance(out, tuple):  # (packed, focus_prob)
             out, fmap = out
@@ -161,10 +169,14 @@ class Tester:
         import time
 
         detect_time, post_time, n_done = 0.0, 0.0, 0
-        for batch in batches:
+
+        def process(batch, out):
+            nonlocal detect_time, post_time, n_done
             t0 = time.time()
-            scores, boxes, maps, masks = self.detect(
-                batch["data"], batch["im_info"], batch["im_scales"]
+            # blocks on the device result (fetch); dispatch already
+            # happened, so this overlaps with the NEXT batch's compute
+            scores, boxes, maps, masks = self.detect_outputs(
+                out, batch["im_info"], batch["im_scales"]
             )
             detect_time += time.time() - t0
             t0 = time.time()
@@ -224,6 +236,17 @@ class Tester:
                     f"{detect_time / n_done:.4f}s/im, Post Processing: "
                     f"{post_time / n_done:.4f}s/im"
                 )
+
+        # one-deep pipeline: dispatch batch N+1's forward (async under
+        # jit) before decoding/post-processing batch N on the host
+        pending = None
+        for batch in batches:
+            out = self.forward_fn(batch["data"], batch["im_info"])
+            if pending is not None:
+                process(*pending)
+            pending = (batch, out)
+        if pending is not None:
+            process(*pending)
         if with_masks:
             return all_boxes, all_maps, all_masks
         return all_boxes, all_maps
@@ -252,7 +275,7 @@ class Tester:
              for _ in range(self.num_classes)]
             if with_masks else None
         )
-        for i in range(num_images):
+        def aggregate_image(i):
             for j in range(1, self.num_classes):
                 agg, agg_m = [], []
                 for s, (dets_s, vr) in enumerate(
@@ -313,6 +336,18 @@ class Tester:
                             all_masks[j][i] = (
                                 all_boxes[j][i], all_masks[j][i][1][keep]
                             )
+
+        # images are independent; CONCURRENT_JOBS>1 soft-NMSes them in a
+        # thread pool (reference: Pool(32) over images, inference.py:159)
+        jobs = int(getattr(self.cfg.TEST, "CONCURRENT_JOBS", 1) or 1)
+        if jobs > 1 and num_images > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=jobs) as pool:
+                list(pool.map(aggregate_image, range(num_images)))
+        else:
+            for i in range(num_images):
+                aggregate_image(i)
         if with_masks:
             return all_boxes, all_masks
         return all_boxes

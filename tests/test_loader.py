@@ -131,3 +131,18 @@ def test_prefetcher_order(rng):
     items = [{"x": np.array([i])} for i in range(7)]
     got = list(Prefetcher(items))
     assert [int(g["x"][0]) for g in got] == list(range(7))
+
+
+def test_loader_fewer_chips_than_batch(rng):
+    """Cyclic padding when the roidb yields fewer chips than one batch."""
+    cfg = make_cfg()
+    roidb = make_roidb(rng, n_images=1)
+    loader = ChipLoader(roidb, cfg, batch_size=16,
+                        image_loader=synth_image_loader)
+    n = loader.reset()
+    assert 0 < n < 16
+    assert loader.size % 16 == 0
+    assert len(loader.schedule) == loader.size
+    batches = list(iter(loader))
+    assert len(batches) == len(loader) >= 1
+    assert batches[0]["data"].shape[0] == 16

@@ -105,3 +105,72 @@ def test_voc_ap_metrics():
     # 07: 6 points at p=1 (t<=0.5), 5 at 0.5 -> (6 + 2.5)/11
     assert ap07 == pytest.approx((6 * 1.0 + 5 * 0.5) / 11)
     assert ap12 == pytest.approx(0.5 * 1.0 + 0.5 * 0.5)
+
+
+def test_selective_search_roidb(tmp_path):
+    scipy_io = pytest.importorskip("scipy.io")
+    devkit = make_devkit(tmp_path)
+    ds = PascalVOC("2007_test", str(tmp_path), devkit)
+    gt = ds.gt_roidb(use_cache=False)
+    # devkit-format .mat: boxes [y1 x1 y2 x2], 1-based, with a duplicate
+    # and a tiny box that must be filtered
+    per_image = [
+        np.array([[50, 49, 150, 149], [50, 49, 150, 149],
+                  [10, 10, 15, 15], [200, 220, 320, 340]], np.float64),
+        np.array([[101, 101, 301, 401]], np.float64),
+    ]
+    cells = np.empty((len(per_image), 1), object)
+    for i, b in enumerate(per_image):
+        cells[i, 0] = b
+    os.makedirs(tmp_path / "selective_search_data")
+    scipy_io.savemat(
+        str(tmp_path / "selective_search_data" / f"{ds.name}.mat"),
+        {"boxes": cells},
+    )
+    ss = ds.selective_search_roidb(gt, use_cache=False)
+    assert len(ss) == 2
+    # dup removed, small box removed -> 2 proposals in image 0
+    assert ss[0]["boxes"].shape[0] == 2
+    # [y1 x1 y2 x2] 1-based -> [x1 y1 x2 y2] 0-based
+    np.testing.assert_allclose(ss[0]["boxes"][0], [48, 49, 148, 149])
+    # proposal identical to the dog GT gets max_overlap 1 @ class dog
+    assert ss[0]["max_overlaps"][0] == 1.0
+    assert ds.classes[ss[0]["max_classes"][0]] == "dog"
+    assert (ss[0]["gt_classes"] == 0).all()
+
+    merged = ds.selective_search_roidb(gt, append_gt=True, use_cache=False)
+    assert merged[0]["boxes"].shape[0] == 2 + gt[0]["boxes"].shape[0]
+
+
+def test_segmentation_eval(tmp_path):
+    PIL_Image = pytest.importorskip("PIL.Image")
+    devkit = make_devkit(tmp_path)
+    ds = PascalVOC("2007_test", str(tmp_path), devkit)
+    seg_dir = tmp_path / "VOCdevkit" / "VOC2007" / "SegmentationClass"
+    seg_dir.mkdir()
+    h, w = 48, 64
+    gts, preds = [], []
+    rng = np.random.RandomState(0)
+    for index in ds.image_index:
+        gt = rng.randint(0, 3, (h, w)).astype(np.uint8)
+        gt[:4, :4] = 255  # ignore region
+        PIL_Image.fromarray(gt).save(str(seg_dir / f"{index}.png"))
+        gts.append(gt)
+        preds.append(gt.copy())
+    # perfect predictions: IU 1.0 for the 3 present classes, 0 for the
+    # absent ones -> meanIU = 3/21
+    out = ds.evaluate_segmentations([np.where(g == 255, 0, g) for g in gts])
+    np.testing.assert_allclose(out["IU_array"][:3], 1.0)
+    assert out["meanIU"] == pytest.approx(3.0 / ds.num_classes)
+    # corrupt half of image 0's labels -> IU drops
+    bad = [p.copy() for p in preds]
+    bad[0][h // 2 :] = (bad[0][h // 2 :] + 1) % 3
+    out2 = ds.evaluate_segmentations(
+        [np.where(b == 255, 0, b) for b in bad]
+    )
+    assert out2["IU_array"][:3].mean() < 1.0
+
+    res_dir = ds.write_segmentation_results(
+        [np.where(g == 255, 0, g) for g in gts]
+    )
+    assert os.path.exists(os.path.join(res_dir, "000001.png"))

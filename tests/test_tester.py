@@ -83,6 +83,39 @@ def test_get_detections_layout():
     assert all_boxes[2][0][0].shape[0] == 0
 
 
+def test_get_detections_pipelined_multibatch():
+    """The one-deep dispatch-ahead pipeline must place every batch's
+    detections at the right (image, chip) slot, same as serial."""
+    roidb = [
+        {"inference_crops": [[0, 0, 255, 255], [0, 0, 128, 128]],
+         "width": 256, "height": 256},
+        {"inference_crops": [[0, 0, 255, 255]], "width": 256, "height": 256},
+    ]
+    planted_by_batch = [
+        [[(np.array([10, 10, 50, 50]), 1, 0.8)]],   # im 0 chip 0
+        [[(np.array([5, 5, 25, 25]), 2, 0.7)]],     # im 0 chip 1
+        [[(np.array([30, 30, 90, 90]), 3, 0.6)]],   # im 1 chip 0
+    ]
+    coords = [(0, 0), (0, 1), (1, 0)]
+    calls = {"n": 0}
+
+    def fn(data, im_info):
+        planted = planted_by_batch[calls["n"]]
+        calls["n"] += 1
+        return fake_forward(planted)(data, im_info)
+
+    t = Tester(fn, make_cfg(), C)
+    batches = (
+        batch_for(p, im_ids=np.array([im]), chip_ids=np.array([ch]))
+        for p, (im, ch) in zip(planted_by_batch, coords)
+    )
+    all_boxes, _ = t.get_detections(batches, roidb, cls_thresh=0.5)
+    assert all_boxes[1][0][0].shape[0] == 1
+    assert all_boxes[2][0][1].shape[0] == 1
+    assert all_boxes[3][1][0].shape[0] == 1
+    np.testing.assert_allclose(all_boxes[2][0][1][0, :4], [5, 5, 25, 25])
+
+
 def test_pruning_translates_and_filters():
     # chip at (100,100)-(355,355) inside a 600x600 image
     roidb = [{"inference_crops": [[100, 100, 355, 355]], "width": 600, "height": 600}]
