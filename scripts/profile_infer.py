@@ -1,8 +1,11 @@
-"""Per-stage inference profiling on the real TPU.
+"""Decompose inference step time on the real TPU.
 
-Times, per test scale: trunk+RPN only, +proposal(NMS), full model.
-Isolates whether the gap vs baseline is conv FLOPs, the sequential NMS
-loop, or the gather-heavy ROI head.
+Times standalone jitted pieces of the test-mode forward at a
+representative small canvas (where MFU is worst) to find the
+canvas-independent overhead: trunk-only, RPN decode+topk (no NMS),
+greedy-NMS loop alone, deformable ROI head alone, and the full model.
+
+  python scripts/profile_infer.py
 """
 
 import os
@@ -14,94 +17,101 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, n=5):
-    import jax
-
-    jax.block_until_ready(fn(*args))
+def timeit(fn, *args, iters=6):
+    np.asarray(fn(*args))  # warmup / compile
     t0 = time.perf_counter()
-    for _ in range(n):
+    for _ in range(iters):
         out = fn(*args)
-    jax.tree_util.tree_map(jax.block_until_ready, out)
-    return (time.perf_counter() - t0) / n
+    np.asarray(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
 def main():
-    import flax.linen as nn
     import jax
     import jax.numpy as jnp
 
     from sniper_tpu.models.detector import SNIPERDetector
-    from sniper_tpu.models.heads import RPNHead
-    from sniper_tpu.models.resnet import ResNetTrunk
-    from sniper_tpu.ops.proposals import anchors_ahw_on_device, multi_proposal
+    from sniper_tpu.ops.nms import nms_jax
+    from sniper_tpu.ops.proposals import (
+        anchors_ahw_on_device,
+        multi_proposal,
+    )
 
+    results = {}
     rng = np.random.RandomState(0)
-    im_w, im_h = 640, 480
-    specs = []
-    for (lo, hi), b in zip([(1400, 2000), (800, 1280), (480, 512)], [2, 2, 4]):
-        s = lo / min(im_w, im_h)
-        if round(s * max(im_w, im_h)) > hi:
-            s = hi / max(im_w, im_h)
-        h = (int(np.round(im_h * s)) + 63) // 64 * 64
-        w = (int(np.round(im_w * s)) + 63) // 64 * 64
-        specs.append((h, w, b, s))
 
+    # full model on the small (worst-MFU) canvas and the large one
     model = SNIPERDetector(
         num_classes=81, num_anchors=21,
         anchor_scales=(2, 4, 7, 10, 13, 16, 24), anchor_ratios=(0.5, 1, 2),
         units=(3, 4, 23, 3), dtype=jnp.bfloat16,
+        pre_nms_top_n=6000, post_nms_top_n=300,
     )
 
-    class TrunkRPN(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            c4, c5 = ResNetTrunk(units=(3, 4, 23, 3), dtype=jnp.bfloat16,
-                                 name="trunk")(x, train=False)
-            feat = jnp.concatenate(
-                [c4.astype(jnp.float32), c5.astype(jnp.float32)], -1
-            )
-            return RPNHead(21, name="rpn")(feat)
+    @jax.jit
+    def full(variables, data, im_info):
+        return model.apply(variables, data, im_info, train=False)["rois"]
 
-    trunk = TrunkRPN()
-
-    for h, w, b, s in specs:
+    shapes = [(4, 384, 512), (2, 832, 1088)]
+    variables = None
+    for b, h, w in shapes:
         data = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
-        im_info = jnp.asarray(np.tile([[h, w, s]], (b, 1)).astype(np.float32))
+        im_info = jnp.asarray(
+            np.tile([[h, w, 1.0]], (b, 1)).astype(np.float32))
+        if variables is None:
+            variables = model.init({"params": jax.random.PRNGKey(0)}, data,
+                                   im_info, train=False)
+        ms = timeit(full, variables, data, im_info)
+        results[f"full_{h}x{w}_b{b}"] = round(ms, 1)
+        print(f"full {h}x{w} b{b}: {ms:.1f} ms", flush=True)
 
-        tv = trunk.init({"params": jax.random.PRNGKey(0)}, data)
+    # proposal op alone (decode + topk + NMS) at the small canvas
+    b, h, w = 4, 384, 512
+    fh, fw = h // 16, w // 16
+    A = 21
+    anchors = anchors_ahw_on_device(fh, fw, 16, (0.5, 1, 2),
+                                    (2, 4, 7, 10, 13, 16, 24))
+    fg = jnp.asarray(rng.rand(b, A, fh, fw).astype(np.float32))
+    dl = jnp.asarray((rng.randn(b, 4 * A, fh, fw) * 0.1).astype(np.float32))
+    ii = jnp.asarray(np.tile([[h, w, 1.0]], (b, 1)).astype(np.float32))
 
-        @jax.jit
-        def trunk_fn(tv, data):
-            return trunk.apply(tv, data)
+    @jax.jit
+    def prop(fg, dl, ii, anchors):
+        return multi_proposal(fg, dl, ii, anchors, pre_nms=6000,
+                              post_nms=300, thresh=0.7)[0]
 
-        t_trunk = timeit(trunk_fn, tv, data)
+    ms = timeit(prop, fg, dl, ii, anchors)
+    results["multi_proposal_b4"] = round(ms, 1)
+    print(f"multi_proposal b4 (decode+topk+NMS): {ms:.1f} ms", flush=True)
 
-        @jax.jit
-        def prop_fn(tv, data, im_info):
-            cls, bbox = trunk.apply(tv, data)
-            fg = jax.nn.softmax(cls, axis=3)[..., 1, :].transpose(0, 3, 1, 2)
-            anchors = anchors_ahw_on_device(
-                data.shape[1] // 16, data.shape[2] // 16, 16,
-                (0.5, 1, 2), (2, 4, 7, 10, 13, 16, 24),
-            )
-            return multi_proposal(fg, bbox, im_info, anchors)
+    # greedy NMS loop alone, batched like the model (vmap over 4 images)
+    boxes = rng.rand(b, 6000, 4).astype(np.float32) * 300
+    boxes[..., 2:] += boxes[..., :2]
+    scores = rng.rand(b, 6000).astype(np.float32)
 
-        t_prop = timeit(prop_fn, tv, data, im_info)
+    @jax.jit
+    def nms_only(boxes, scores):
+        return jax.vmap(lambda bx, sc: nms_jax(bx, sc, 300, 0.7)[0])(
+            boxes, scores)
 
-        mv = model.init({"params": jax.random.PRNGKey(0)}, data, im_info,
-                        train=False)
+    ms = timeit(nms_only, jnp.asarray(boxes), jnp.asarray(scores))
+    results["nms_loop_b4"] = round(ms, 1)
+    print(f"greedy NMS loop b4 (300 iters over 6000): {ms:.1f} ms",
+          flush=True)
 
-        @jax.jit
-        def full_fn(mv, data, im_info):
-            return model.apply(mv, data, im_info, train=False)
+    # topk alone
+    @jax.jit
+    def topk_only(scores):
+        return jax.lax.top_k(scores.reshape(b, -1), 6000)[0]
 
-        t_full = timeit(full_fn, mv, data, im_info)
-        print(
-            f"canvas {h}x{w} b{b}: trunk+rpn {t_trunk*1e3:8.1f}ms  "
-            f"+proposal {t_prop*1e3:8.1f}ms  full {t_full*1e3:8.1f}ms  "
-            f"({b / t_full:5.2f} img/s this scale)",
-            flush=True,
-        )
+    big_scores = jnp.asarray(rng.rand(b, A * fh * fw).astype(np.float32))
+    ms = timeit(topk_only, big_scores)
+    results["topk_b4"] = round(ms, 1)
+    print(f"top_k 6000 b4: {ms:.1f} ms", flush=True)
+
+    import json
+
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
