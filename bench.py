@@ -41,7 +41,10 @@ def main():
 
     im_w, im_h = 640, 480
     scale_specs = []
-    for (lo, hi), b in zip([(1400, 2000), (800, 1280), (480, 512)], [2, 2, 4]):
+    # batch sizes 2x the reference's V100 setting ([2,2,4]): measured
+    # +4-5% device throughput per scale on v5e, and half the per-batch
+    # relay fetches (scripts/profile_infer.py / batch A/B)
+    for (lo, hi), b in zip([(1400, 2000), (800, 1280), (480, 512)], [4, 4, 8]):
         s = lo / min(im_w, im_h)
         if round(s * max(im_w, im_h)) > hi:
             s = hi / max(im_w, im_h)
@@ -95,13 +98,14 @@ def main():
             boxes = bbox_pred(rois[i, :, 1:], deltas[i])
             clip_boxes(boxes, im_info_np[i][:2]) / s
 
-    # per round: 4 images through all three scales (2 batches at scales
-    # 0/1 with batch 2, 1 batch at scale 2 with 4). Rounds are
+    # per round: 8 images through all three scales (2 batches at scales
+    # 0/1 with batch 4, 1 batch at scale 2 with 8). Rounds are
     # double-buffered — round N+1 is dispatched before round N's outputs
     # are fetched — so the fixed ~30ms/fetch relay cost overlaps device
     # compute, as it does in the streaming Tester.
+    reps = [2, 2, 1]
+
     def dispatch_round():
-        reps = [2, 2, 1]
         return [
             (fn(variables, data, im_info), im_info, s)
             for (data, im_info, b, s), rep in zip(inputs, reps)
@@ -122,7 +126,7 @@ def main():
         drain(pending)
         pending = nxt
     drain(pending)
-    images = n_rounds * 4
+    images = n_rounds * 8
     dt = time.perf_counter() - t0
     ips = images / dt
 
@@ -139,7 +143,6 @@ def main():
     peak = next((v for k, v in peak_by_kind.items() if k in kind), None)
     per_scale = []
     total_flops = 0.0
-    reps = [2, 2, 1]
     for (data, im_info, b, s), rep in zip(inputs, reps):
         flops = None
         try:

@@ -46,9 +46,11 @@ def main():
     import numpy as np
 
     from sniper_tpu.config import load_config
+    from sniper_tpu.config.defaults import config_name
     from sniper_tpu.data.test_loader import TestChipIterator, init_inference_crops
     from sniper_tpu.infer.tester import Tester
     from sniper_tpu.models.registry import get_model
+    from sniper_tpu.train.checkpoint import restore_inference_variables
     from sniper_tpu.utils.visualization import draw_detections
 
     args = parse_args()
@@ -65,10 +67,9 @@ def main():
     init_inference_crops(roidb)
 
     model = get_model(cfg)
-    data = jnp.zeros((1, 64, 64, 3))
-    im_info = jnp.asarray([[64.0, 64.0, 1.0]])
-    variables = model.init({"params": jax.random.PRNGKey(0)}, data, im_info,
-                           train=False)
+    # trained weights: orbax run dir or reference-format checkpoint,
+    # like the reference demo's load_param (demo.py:77-90)
+    variables = restore_inference_variables(cfg, model, config_name(args.cfg))
 
     @jax.jit
     def fwd(variables, data, im_info):

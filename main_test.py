@@ -155,14 +155,9 @@ def run_proposal_extraction(cfg, model, variables, roidb, dataset, out_dir):
 
 
 def main():
-    import optax
-
     from sniper_tpu.config import load_config
     from sniper_tpu.config.defaults import config_name
     from sniper_tpu.models.registry import get_model
-    from sniper_tpu.train.checkpoint import load_checkpoint
-    from sniper_tpu.train.optimizer import make_optimizer
-    from sniper_tpu.train.trainer import create_train_state
     from sniper_tpu.utils.logger import create_logger
 
     args = parse_args()
@@ -175,44 +170,9 @@ def main():
     roidb = dataset.gt_roidb()
 
     model = get_model(cfg)
-    # template init for checkpoint restore
-    import jax.numpy as jnp
+    from sniper_tpu.train.checkpoint import restore_inference_variables
 
-    data = jnp.zeros((1, 64, 64, 3))
-    im_info = jnp.asarray([[64.0, 64.0, 1.0]])
-    variables = model.init({"params": jax.random.PRNGKey(0)}, data, im_info,
-                           train=False)
-    ckpt_dir = os.path.join(
-        cfg.output_path or "./output", name, str(cfg.dataset.image_set),
-        "checkpoints",
-    )
-    if os.path.isdir(ckpt_dir):
-        # rebuild the full TrainState template (orbax restores by
-        # structure), then take params + batch_stats for inference
-        from sniper_tpu.train.trainer import TrainState
-
-        tx, _ = make_optimizer(cfg, epoch_size=1000,
-                               params=variables["params"])
-        template = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=tx.init(variables["params"]),
-        )
-        epoch = cfg.TEST.TEST_EPOCH or None
-        state = load_checkpoint(ckpt_dir, template, epoch)
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
-        logger.info(f"restored checkpoint from {ckpt_dir}")
-    elif str(cfg.network.pretrained or "").strip():
-        # no orbax run dir: import a reference-format checkpoint
-        # (.params/.npz) directly, like the reference's load_param
-        # (main_test.py:54-55, utils.py:96-99)
-        from sniper_tpu.train.pretrained import load_pretrained
-
-        variables, _ = load_pretrained(cfg, variables, logger)
-    else:
-        logger.info("no checkpoint found; using random init")
+    variables = restore_inference_variables(cfg, model, name, logger)
 
     if cfg.TEST.EXTRACT_PROPOSALS:
         run_proposal_extraction(cfg, model, variables, roidb, dataset, out_dir)

@@ -97,18 +97,23 @@ class SNIPERDetector(nn.Module):
                 units=self.units, num_groups=self.num_trunk_groups,
                 dtype=self.dtype, name="trunk",
             )(data, train=train)
+            # concat stays in trunk dtype: the RPN/conv_new convs over the
+            # 3072-ch map run in self.dtype (fp32 accumulation on the MXU)
+            # and cast their outputs fp32 — the reference's fp32 cast here
+            # (resnet_mx_101_e2e.py:173-175) was a GPU-fp16 safety measure
             feat = jnp.concatenate(
-                [c4.astype(jnp.float32), c5.astype(jnp.float32)], axis=-1
+                [c4.astype(self.dtype), c5.astype(self.dtype)], axis=-1
             )
         else:
             c4, c5 = ResNetTrunk(
                 units=self.units, dtype=self.dtype, name="trunk",
             )(data, train=train)
             feat = jnp.concatenate(
-                [c4.astype(jnp.float32), c5.astype(jnp.float32)], axis=-1
+                [c4.astype(self.dtype), c5.astype(self.dtype)], axis=-1
             )
 
-        rpn_cls_logits, rpn_bbox = RPNHead(self.num_anchors, name="rpn")(feat)
+        rpn_cls_logits, rpn_bbox = RPNHead(self.num_anchors, dtype=self.dtype,
+                                           name="rpn")(feat)
         # objectness: softmax over the {bg, fg} axis -> fg prob [B,A,H,W]
         rpn_probs = jax.nn.softmax(rpn_cls_logits, axis=3)[..., 1, :]
         rpn_fg = rpn_probs.transpose(0, 3, 1, 2)
@@ -129,10 +134,11 @@ class SNIPERDetector(nn.Module):
 
         roi_feat_map = nn.relu(
             nn.Conv(256, (1, 1), kernel_init=nn.initializers.normal(0.01),
-                    name="conv_new_1")(feat)
-        )
+                    dtype=self.dtype, name="conv_new_1")(feat)
+        ).astype(jnp.float32)
         focus_logits = (
-            AutoFocusHead(name="autofocus")(feat) if self.autofocus else None
+            AutoFocusHead(dtype=self.dtype, name="autofocus")(feat)
+            if self.autofocus else None
         )
 
         b, fh, fw = feat.shape[0], feat.shape[1], feat.shape[2]

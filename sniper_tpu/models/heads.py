@@ -33,18 +33,26 @@ def grad_scale(x, scale: float):
 
 class RPNHead(nn.Module):
     num_anchors: int
+    # compute dtype for the convs (params stay fp32). The reference runs
+    # the RPN head in fp32 because GPU fp16 needed loss-scale care; on
+    # TPU a bf16 conv accumulates in fp32 on the MXU, and the 3x3 conv
+    # over the 3072-ch C4||C5 concat is one of the largest matmuls in
+    # the whole forward — bf16 halves its cost. Outputs are cast fp32.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat):
-        """feat [B,H,W,C] fp32. Returns cls logits [B,H,W,2,A], bbox
-        deltas [B,4A,H,W] (conv channel = a*4+k, op layout)."""
+        """feat [B,H,W,C]. Returns cls logits [B,H,W,2,A] fp32, bbox
+        deltas [B,4A,H,W] fp32 (conv channel = a*4+k, op layout)."""
         h = nn.Conv(512, (3, 3), padding="SAME", kernel_init=init_n01,
-                    name="rpn_conv_3x3")(feat)
+                    dtype=self.dtype, name="rpn_conv_3x3")(feat)
         h = nn.relu(h)
         cls = nn.Conv(2 * self.num_anchors, (1, 1), kernel_init=init_n01,
-                      name="rpn_cls_score")(h)
+                      dtype=self.dtype, name="rpn_cls_score")(h)
         bbox = nn.Conv(4 * self.num_anchors, (1, 1), kernel_init=init_n01,
-                       name="rpn_bbox_pred")(h)
+                       dtype=self.dtype, name="rpn_bbox_pred")(h)
+        cls = cls.astype(jnp.float32)
+        bbox = bbox.astype(jnp.float32)
         b, fh, fw, _ = cls.shape
         # channel layout (2, A): bg block then fg block (reference reshape)
         cls = cls.reshape(b, fh, fw, 2, self.num_anchors)
@@ -115,11 +123,15 @@ class MaskHead(nn.Module):
 
 
 class AutoFocusHead(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, feat):
-        """feat [B,H,W,C] -> FocusPixel logits [B,H,W,2]."""
+        """feat [B,H,W,C] -> FocusPixel logits [B,H,W,2] fp32."""
         h = nn.relu(nn.Conv(256, (3, 3), padding="SAME", kernel_init=init_n01,
-                            name="conv_new_2")(feat))
+                            dtype=self.dtype, name="conv_new_2")(feat))
         h = nn.relu(nn.Conv(256, (1, 1), kernel_init=init_n01,
-                            name="conv_new_3")(h))
-        return nn.Conv(2, (1, 1), kernel_init=init_n01, name="conv_new_out")(h)
+                            dtype=self.dtype, name="conv_new_3")(h))
+        out = nn.Conv(2, (1, 1), kernel_init=init_n01, dtype=self.dtype,
+                      name="conv_new_out")(h)
+        return out.astype(jnp.float32)

@@ -165,3 +165,22 @@ def test_real_image_overfit_ap_positive(tmp_path, monkeypatch, capsys):
     ap = stats.get("AP", stats.get("bbox", {}).get("AP"))
     assert ap is not None and np.isfinite(ap)
     assert ap > 0.0, f"overfit on real images must yield AP > 0, got {ap}"
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO), reason="demo.jpg unavailable")
+def test_demo_cli_writes_visualization(tmp_path, monkeypatch):
+    """demo.py end to end on the real photograph (random-init weights:
+    exercises the multi-scale detect -> aggregate -> draw path)."""
+    import demo
+    import sniper_tpu.models.registry as registry
+
+    cfg_path = write_cfg(tmp_path, end_epoch=1)
+    monkeypatch.setitem(registry._REGISTRY, "resnet_mx_50_e2e", tiny_model)
+    out = str(tmp_path / "demo_out.jpg")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["demo.py", "--cfg", cfg_path, "--im_path", DEMO,
+         "--out_path", out],
+    )
+    demo.main()
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
