@@ -38,6 +38,8 @@ def main():
     rng = np.random.RandomState(0)
     results = {}
     b, h, w = 2, 832, 1088
+    if len(sys.argv) == 4:
+        b, h, w = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     data = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32))
 
     for tag, deform in [("trunk_deform", True), ("trunk_nodeform", False)]:

@@ -190,7 +190,7 @@ class SNIPERDetector(nn.Module):
                 # two-pass deformable 14x14 pooling (mask variant)
                 off_t = deformable_psroi_pool(
                     roi_feat_map, mr_flat, None, pooled_size=14,
-                    spatial_scale=1.0 / self.feat_stride,
+                    spatial_scale=1.0 / self.feat_stride, rois_per_image=m,
                 )
                 off = nn.Dense(
                     14 * 14 * 2, kernel_init=nn.initializers.zeros,
@@ -200,7 +200,7 @@ class SNIPERDetector(nn.Module):
                 trans = off.reshape(-1, 2, 14, 14).transpose(0, 2, 3, 1)
                 pooled = deformable_psroi_pool(
                     roi_feat_map, mr_flat, trans, pooled_size=14,
-                    spatial_scale=1.0 / self.feat_stride,
+                    spatial_scale=1.0 / self.feat_stride, rois_per_image=m,
                 )
                 logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
                 targets, cls_ids = mask_targets_from_dense(
@@ -260,7 +260,7 @@ class SNIPERDetector(nn.Module):
 
             off_t = deformable_psroi_pool(
                 roi_feat_map, rois_flat, None, pooled_size=14,
-                spatial_scale=1.0 / self.feat_stride,
+                spatial_scale=1.0 / self.feat_stride, rois_per_image=n,
             )
             off = nn.Dense(
                 14 * 14 * 2, kernel_init=nn.initializers.zeros,
@@ -270,7 +270,7 @@ class SNIPERDetector(nn.Module):
             trans = off.reshape(-1, 2, 14, 14).transpose(0, 2, 3, 1)
             pooled = deformable_psroi_pool(
                 roi_feat_map, rois_flat, trans, pooled_size=14,
-                spatial_scale=1.0 / self.feat_stride,
+                spatial_scale=1.0 / self.feat_stride, rois_per_image=n,
             )
             logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
             nfg = self.num_classes - 1

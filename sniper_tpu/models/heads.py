@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from sniper_tpu.ops.deform import deformable_psroi_pool_fast as deformable_psroi_pool
+from sniper_tpu.ops.deform import rcnn_head_fused
 
 init_n01 = nn.initializers.normal(0.01)
 
@@ -29,6 +30,28 @@ init_n01 = nn.initializers.normal(0.01)
 def grad_scale(x, scale: float):
     """Identity with scaled gradient (reference lr_mult emulation)."""
     return x * scale + jax.lax.stop_gradient(x * (1.0 - scale))
+
+
+class _Lin(nn.Module):
+    """Param holder with nn.Dense's tree layout ({kernel, bias}).
+
+    The R-CNN head runs its FCs inside ops.deform.rcnn_head_fused's
+    chunk loop, so it needs the raw arrays rather than callable Dense
+    modules; this keeps checkpoints/pretrained-import paths identical
+    to the previous nn.Dense layout.
+    """
+
+    in_dim: int
+    out_dim: int
+    kernel_init: object = init_n01
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", self.kernel_init, (self.in_dim, self.out_dim)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_dim,)
+        )
 
 
 class RPNHead(nn.Module):
@@ -66,34 +89,58 @@ class RCNNHead(nn.Module):
     spatial_scale: float = 0.0625
     offset_lr_mult: float = 0.01
     fc_dim: int = 1024  # 512 for the MobileNetV2 variant
+    # fused=True runs the whole two-pass head inside one chunked loop
+    # (single patch extraction; see ops.deform.rcnn_head_fused).
+    # fused=False is the reference-shaped two-pool composition, kept as
+    # the numerical oracle for the fused path.
+    fused: bool = True
 
     @nn.compact
     def __call__(self, roi_feat_map, rois):
-        """roi_feat_map [B,H,W,256] fp32 (conv_new_1 output), rois [R,5].
+        """roi_feat_map [B,H,W,256] fp32 (conv_new_1 output), rois [R,5],
+        image-contiguous (R = B * rois-per-image, how the proposal ops
+        emit them — enables the pool's batch-diagonal fast path).
         Returns (cls_score [R,num_classes], bbox_pred [R,4])."""
         P = self.pooled_size
+        rpi = rois.shape[0] // roi_feat_map.shape[0]
+        C = roi_feat_map.shape[-1]
+        offset = _Lin(P * P * C, P * P * 2,
+                      kernel_init=nn.initializers.zeros, name="offset")
+        fc1 = _Lin(P * P * C, self.fc_dim, name="fc_new_1")
+        fc2 = _Lin(self.fc_dim, self.fc_dim, name="fc_new_2")
+        cls = _Lin(self.fc_dim, self.num_classes, name="cls_score")
+        bbx = _Lin(self.fc_dim, 4, name="bbox_pred")
+
+        if self.fused:
+            return rcnn_head_fused(
+                roi_feat_map, rois,
+                (offset.kernel, offset.bias, fc1.kernel, fc1.bias,
+                 fc2.kernel, fc2.bias, cls.kernel, cls.bias,
+                 bbx.kernel, bbx.bias),
+                rois_per_image=rpi, pooled_size=P,
+                spatial_scale=self.spatial_scale,
+                offset_grad_mult=self.offset_lr_mult,
+            )
+
         # pass 1: predict per-bin offsets from an undeformed pool
         offset_t = deformable_psroi_pool(
             roi_feat_map, rois, None, pooled_size=P,
-            spatial_scale=self.spatial_scale,
+            spatial_scale=self.spatial_scale, rois_per_image=rpi,
         )
-        off = nn.Dense(P * P * 2, kernel_init=nn.initializers.zeros,
-                       name="offset")(offset_t.reshape(rois.shape[0], -1))
+        off = offset_t.reshape(rois.shape[0], -1) @ offset.kernel \
+            + offset.bias
         off = grad_scale(off, self.offset_lr_mult)
         # reference reshape (-1, 2, 7, 7): plane 0 = y, plane 1 = x
         trans = off.reshape(-1, 2, P, P).transpose(0, 2, 3, 1)
         pooled = deformable_psroi_pool(
             roi_feat_map, rois, trans, pooled_size=P,
-            spatial_scale=self.spatial_scale,
+            spatial_scale=self.spatial_scale, rois_per_image=rpi,
         )
         h = pooled.reshape(rois.shape[0], -1)
-        h = nn.relu(nn.Dense(self.fc_dim, kernel_init=init_n01,
-                             name="fc_new_1")(h))
-        h = nn.relu(nn.Dense(self.fc_dim, kernel_init=init_n01,
-                             name="fc_new_2")(h))
-        cls_score = nn.Dense(self.num_classes, kernel_init=init_n01,
-                             name="cls_score")(h)
-        bbox_pred = nn.Dense(4, kernel_init=init_n01, name="bbox_pred")(h)
+        h = nn.relu(h @ fc1.kernel + fc1.bias)
+        h = nn.relu(h @ fc2.kernel + fc2.bias)
+        cls_score = h @ cls.kernel + cls.bias
+        bbox_pred = h @ bbx.kernel + bbx.bias
         return cls_score, bbox_pred
 
 

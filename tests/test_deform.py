@@ -253,3 +253,78 @@ def test_deform_conv_custom_vjp_grads_match_autodiff(rng):
     diff = np.abs(np.asarray(go_n) - np.asarray(go_r))
     agree = (diff < 0.05 * (1 + np.abs(np.asarray(go_r)))).mean()
     assert agree > 0.9, f"offset grads agree only {agree:.2%}"
+
+
+def _contiguous_rois(rng, B, rpi, fh, fw):
+    rois = np.zeros((B * rpi, 5), np.float32)
+    rois[:, 0] = np.repeat(np.arange(B), rpi)
+    rois[:, 1] = rng.uniform(0, fw * 16 - 80, B * rpi)
+    rois[:, 2] = rng.uniform(0, fh * 16 - 80, B * rpi)
+    rois[:, 3] = rois[:, 1] + rng.uniform(8, 140, B * rpi)
+    rois[:, 4] = rois[:, 2] + rng.uniform(8, 140, B * rpi)
+    return jnp.asarray(rois)
+
+
+def test_psroi_fast_batched_path_matches_onehot(rng):
+    """rois_per_image (batch-diagonal) path is numerically identical to
+    the general one-hot path, forwards and input grads."""
+    from sniper_tpu.ops.deform import deformable_psroi_pool_fast
+
+    B, fh, fw, C, rpi = 3, 14, 18, 16, 21
+    feat = jnp.asarray(rng.randn(B, fh, fw, C).astype(np.float32))
+    rois = _contiguous_rois(rng, B, rpi, fh, fw)
+    trans = jnp.asarray(
+        (rng.randn(B * rpi, 7, 7, 2) * 0.5).astype(np.float32)
+    )
+    for tr in (None, trans):
+        a = deformable_psroi_pool_fast(feat, rois, tr, roi_chunk=16)
+        b = deformable_psroi_pool_fast(
+            feat, rois, tr, roi_chunk=16, rois_per_image=rpi
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    ga = jax.grad(
+        lambda f: deformable_psroi_pool_fast(f, rois, trans).sum()
+    )(feat)
+    gb = jax.grad(
+        lambda f: deformable_psroi_pool_fast(
+            f, rois, trans, rois_per_image=rpi
+        ).sum()
+    )(feat)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-3)
+
+
+def test_rcnn_head_fused_matches_two_pool_composition(rng):
+    """The single-loop fused head (one patch extraction) reproduces the
+    reference-shaped two-pool + Dense composition bit-for-bit, values
+    and parameter gradients."""
+    from sniper_tpu.models.heads import RCNNHead
+
+    B, fh, fw, C, rpi = 2, 12, 16, 32, 13
+    feat = jnp.asarray(rng.randn(B, fh, fw, C).astype(np.float32))
+    rois = _contiguous_rois(rng, B, rpi, fh, fw)
+
+    h_ref = RCNNHead(num_classes=7, fc_dim=48, fused=False)
+    h_fus = RCNNHead(num_classes=7, fc_dim=48, fused=True)
+    vs = h_ref.init(jax.random.PRNGKey(0), feat, rois)
+    # non-zero offset kernel so the second pass actually deforms
+    p = {k: dict(v) for k, v in vs["params"].items()}
+    p["offset"] = dict(p["offset"])
+    p["offset"]["kernel"] = jnp.asarray(
+        rng.randn(*p["offset"]["kernel"].shape).astype(np.float32) * 0.05
+    )
+    vs = {"params": p}
+
+    c1, b1 = h_ref.apply(vs, feat, rois)
+    c2, b2 = h_fus.apply(vs, feat, rois)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+
+    def loss(v, mod):
+        c, b = mod.apply(v, feat, rois)
+        return (c ** 2).sum() * 0.01 + (b ** 2).sum() * 0.01
+
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda v: loss(v, h_ref))(vs))
+    g2 = jax.tree_util.tree_leaves(jax.grad(lambda v: loss(v, h_fus))(vs))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
