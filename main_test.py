@@ -45,12 +45,45 @@ def build_test_dataset(cfg):
     raise KeyError(f"unknown dataset {name!r}")
 
 
-def make_forward(model, variables):
+def make_forward(model, variables, num_devices: int = 1):
+    """Jitted test-mode forward; ``num_devices > 1`` runs data-parallel
+    inference over a 1-D device mesh — the batch splits along dim 0
+    across chips with replicated params (XLA auto-partitions; the
+    reference instead binds its test Module over a GPU list,
+    inference.py:416-428). Per-scale TEST.BATCH_IMAGES must then be a
+    multiple of the device count."""
+
     @jax.jit
     def fn(variables, data, im_info):
         return model.apply(variables, data, im_info, train=False)
 
-    return lambda data, im_info: fn(variables, data, im_info)
+    if num_devices <= 1:
+        return lambda data, im_info: fn(variables, data, im_info)
+
+    from sniper_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh(num_devices)
+    variables = replicate(mesh, variables)
+
+    def forward(data, im_info):
+        if data.shape[0] % mesh.devices.size:
+            raise ValueError(
+                f"test batch {data.shape[0]} not divisible by "
+                f"{mesh.devices.size} devices (set TEST.BATCH_IMAGES "
+                "to a multiple of parallel.num_devices)"
+            )
+        sb = shard_batch(mesh, {"data": data, "im_info": im_info})
+        return fn(variables, sb["data"], sb["im_info"])
+
+    return forward
+
+
+def _test_num_devices(cfg):
+    # explicit opt-in for multi-chip inference (unlike training, where
+    # -1 means "all devices"): per-scale batches must divide the device
+    # count, so silently fanning out would break small-batch runs
+    n = int(cfg.parallel.num_devices)
+    return n if n > 1 else 1
 
 
 def run_detection(cfg, model, variables, roidb, dataset, out_dir):
@@ -59,7 +92,7 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
     from sniper_tpu.infer.tester import Tester
 
     init_inference_crops(roidb)
-    forward = make_forward(model, variables)
+    forward = make_forward(model, variables, _test_num_devices(cfg))
     tester = Tester(forward, cfg, dataset.num_classes)
     with_masks = bool(getattr(model, "with_mask", False))
 
@@ -131,7 +164,7 @@ def run_proposal_extraction(cfg, model, variables, roidb, dataset, out_dir):
     from sniper_tpu.infer.tester import Tester
 
     init_inference_crops(roidb)
-    forward = make_forward(model, variables)
+    forward = make_forward(model, variables, _test_num_devices(cfg))
     tester = Tester(forward, cfg, dataset.num_classes)
     agg_boxes = None
     for s in range(len(cfg.TEST.SCALES)):

@@ -1,0 +1,75 @@
+"""Data-parallel inference on the virtual CPU mesh.
+
+The reference runs test-time forwards over a GPU list inside each
+CONCURRENT_JOBS worker (inference.py:416-428); the TPU equivalent is
+main_test.make_forward(num_devices=N): the batch splits along dim 0
+over a 1-D mesh with replicated params. These tests check the
+multi-device forward is numerically identical to single-device and
+that the CLI plumbing (parallel.num_devices) selects it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from main_test import _test_num_devices, make_forward
+from sniper_tpu.config import default_config
+from sniper_tpu.models.detector import SNIPERDetector
+
+A = 9
+H = W = 64
+
+
+def _tiny_model():
+    return SNIPERDetector(
+        num_classes=5, num_anchors=A, anchor_scales=(2, 4, 7),
+        anchor_ratios=(0.5, 1, 2), units=(1, 1, 1, 1),
+        pre_nms_top_n=64, post_nms_top_n=8, num_rois=8,
+        dtype=jnp.float32,
+    )
+
+
+def test_dp_forward_matches_single_device():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    model = _tiny_model()
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randn(4, H, W, 3).astype(np.float32))
+    im_info = jnp.asarray(np.tile([[H, W, 1.0]], (4, 1)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, data, im_info, train=False
+    )
+
+    f1 = make_forward(model, variables, num_devices=1)
+    f4 = make_forward(model, variables, num_devices=4)
+    o1 = f1(data, im_info)
+    o4 = f4(data, im_info)
+    assert set(o1) == set(o4)
+    for k in ("rois", "cls_prob", "bbox_pred", "roi_valid"):
+        np.testing.assert_allclose(
+            np.asarray(o1[k]), np.asarray(o4[k]), atol=1e-4,
+            err_msg=k,
+        )
+
+
+def test_dp_forward_rejects_indivisible_batch():
+    model = _tiny_model()
+    rng = np.random.RandomState(1)
+    data = jnp.asarray(rng.randn(3, H, W, 3).astype(np.float32))
+    im_info = jnp.asarray(np.tile([[H, W, 1.0]], (3, 1)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, data, im_info, train=False
+    )
+    fwd = make_forward(model, variables, num_devices=2)
+    try:
+        fwd(data, im_info)
+    except ValueError as e:
+        assert "not divisible" in str(e)
+    else:
+        raise AssertionError("expected ValueError for batch 3 on 2 devices")
+
+
+def test_num_devices_requires_explicit_opt_in():
+    cfg = default_config()
+    assert _test_num_devices(cfg) == 1  # default -1 stays single-chip
+    cfg.parallel.num_devices = 4
+    assert _test_num_devices(cfg) == 4
