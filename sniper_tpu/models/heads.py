@@ -22,14 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from sniper_tpu.ops.deform import deformable_psroi_pool_fast as deformable_psroi_pool
-from sniper_tpu.ops.deform import rcnn_head_fused
+from sniper_tpu.ops.deform import grad_scale, rcnn_head_fused
 
 init_n01 = nn.initializers.normal(0.01)
-
-
-def grad_scale(x, scale: float):
-    """Identity with scaled gradient (reference lr_mult emulation)."""
-    return x * scale + jax.lax.stop_gradient(x * (1.0 - scale))
 
 
 class _Lin(nn.Module):
@@ -97,12 +92,19 @@ class RCNNHead(nn.Module):
 
     @nn.compact
     def __call__(self, roi_feat_map, rois):
-        """roi_feat_map [B,H,W,256] fp32 (conv_new_1 output), rois [R,5],
-        image-contiguous (R = B * rois-per-image, how the proposal ops
-        emit them — enables the pool's batch-diagonal fast path).
-        Returns (cls_score [R,num_classes], bbox_pred [R,4])."""
+        """roi_feat_map [B,H,W,256] fp32 (conv_new_1 output), rois [R,5].
+        Returns (cls_score [R,num_classes], bbox_pred [R,4]).
+
+        When R is a multiple of B, rois are assumed IMAGE-CONTIGUOUS
+        (roi i belongs to image i // (R/B), how the proposal ops emit
+        them) and the fused single-extraction head runs; the rois'
+        batch-index column is ignored on that path, so callers with
+        arbitrarily ordered rois must pass R not divisible by B or set
+        fused=False to get the general batch-index-respecting path."""
         P = self.pooled_size
-        rpi = rois.shape[0] // roi_feat_map.shape[0]
+        B = roi_feat_map.shape[0]
+        contiguous = rois.shape[0] % B == 0 and B >= 1
+        rpi = rois.shape[0] // B if contiguous else None
         C = roi_feat_map.shape[-1]
         offset = _Lin(P * P * C, P * P * 2,
                       kernel_init=nn.initializers.zeros, name="offset")
@@ -111,7 +113,7 @@ class RCNNHead(nn.Module):
         cls = _Lin(self.fc_dim, self.num_classes, name="cls_score")
         bbx = _Lin(self.fc_dim, 4, name="bbox_pred")
 
-        if self.fused:
+        if self.fused and contiguous:
             return rcnn_head_fused(
                 roi_feat_map, rois,
                 (offset.kernel, offset.bias, fc1.kernel, fc1.bias,
@@ -122,10 +124,10 @@ class RCNNHead(nn.Module):
                 offset_grad_mult=self.offset_lr_mult,
             )
 
-        # pass 1: predict per-bin offsets from an undeformed pool
+        # general path: respects the rois' batch-index column
         offset_t = deformable_psroi_pool(
             roi_feat_map, rois, None, pooled_size=P,
-            spatial_scale=self.spatial_scale, rois_per_image=rpi,
+            spatial_scale=self.spatial_scale,
         )
         off = offset_t.reshape(rois.shape[0], -1) @ offset.kernel \
             + offset.bias
@@ -134,7 +136,7 @@ class RCNNHead(nn.Module):
         trans = off.reshape(-1, 2, P, P).transpose(0, 2, 3, 1)
         pooled = deformable_psroi_pool(
             roi_feat_map, rois, trans, pooled_size=P,
-            spatial_scale=self.spatial_scale, rois_per_image=rpi,
+            spatial_scale=self.spatial_scale,
         )
         h = pooled.reshape(rois.shape[0], -1)
         h = nn.relu(h @ fc1.kernel + fc1.bias)

@@ -298,6 +298,132 @@ def _resize_matrices(start, scale_step, n_out, n_in):
     return w * valid[:, :, None].astype(w.dtype), valid
 
 
+def grad_scale(x, scale):
+    """Identity with scaled gradient (reference lr_mult emulation)."""
+    return x * scale + jax.lax.stop_gradient(x * (1.0 - scale))
+
+
+def _roi_geom(crois, spatial_scale, T):
+    """DCN roi decode: snap corners to pixels, scale, 0.1 min size.
+
+    crois [..., 5] -> (x1, y1, roi_w, roi_h, sub_w, sub_h), each [...].
+    """
+    x1 = jnp.round(crois[..., 1]) * spatial_scale - 0.5
+    y1 = jnp.round(crois[..., 2]) * spatial_scale - 0.5
+    x2 = (jnp.round(crois[..., 3]) + 1.0) * spatial_scale - 0.5
+    y2 = (jnp.round(crois[..., 4]) + 1.0) * spatial_scale - 0.5
+    roi_w = jnp.maximum(x2 - x1, 0.1)
+    roi_h = jnp.maximum(y2 - y1, 0.1)
+    return x1, y1, roi_w, roi_h, roi_w / T, roi_h / T
+
+
+def _patch_matrices(geom, M, E, H, W):
+    """Per-roi 1-D resize matrices onto the E-cell patch grid (patch
+    cell t samples at x1 + (t - M + 0.5) * sub). geom from _roi_geom
+    with leading shape L -> (wy [*L,E,H], wx [*L,E,W], cnt [*L,E,E]
+    fp32 in-bounds mask)."""
+    x1, y1, _, _, sub_w, sub_h = geom
+    lead = x1.shape
+    wy, vy = _resize_matrices(
+        (y1 + (0.5 - M) * sub_h).reshape(-1), sub_h.reshape(-1), E, H
+    )
+    wx, vx = _resize_matrices(
+        (x1 + (0.5 - M) * sub_w).reshape(-1), sub_w.reshape(-1), E, W
+    )
+    wy = wy.reshape(lead + (E, H))
+    wx = wx.reshape(lead + (E, W))
+    vy = vy.reshape(lead + (E,))
+    vx = vx.reshape(lead + (E,))
+    cnt = (vy[..., :, None] & vx[..., None, :]).astype(jnp.float32)
+    return wy, wx, cnt
+
+
+def _extract_patch_batched(featc, crois, geom, M, E):
+    """Patch extraction for [B, chunk] image-contiguous roi chunks:
+    batch-diagonal einsums pair each roi with its own image's [H,W,C]
+    rows/cols. tmp/patch stay in the matmul dtype (bf16 on TPU): the
+    pool is bandwidth-bound on these intermediates, not FLOP-bound, and
+    the tent matrices have <=2 nonzero terms per row so the rounding is
+    one bf16 quantization (MXU accumulation is fp32 either way)."""
+    B, H, W, C = featc.shape
+    wy, wx, cnt = _patch_matrices(geom, M, E, H, W)
+    tmp = jnp.einsum(
+        "brth,bhwc->brtwc", wy.astype(_mm_dtype()), featc,
+        preferred_element_type=_mm_dtype(),
+    )  # [B, chunk, E, W, C]
+    patch = jnp.einsum(
+        "brsw,brtwc->brtsc", wx.astype(_mm_dtype()), tmp,
+        preferred_element_type=_mm_dtype(),
+    )  # [B, chunk, E, E, C]
+    return patch, cnt
+
+
+def _tiled_bin_avg(patch, cnt, P, S):
+    """Undeformed per-bin average over a [*, T, T, C] patch (T = P*S):
+    the S-wide bin windows tile the patch disjointly, so this is a
+    reshape-sum — no sliding-window box-sum chain (whose ~T^2-sized
+    fp32 intermediates were the measured bandwidth killer)."""
+    lead = patch.shape[:-3]
+    C = patch.shape[-1]
+    out = patch.astype(jnp.float32).reshape(
+        lead + (P, S, P, S, C)
+    ).sum(axis=(-4, -2))
+    n = cnt.reshape(lead + (P, S, P, S)).sum(axis=(-3, -1))[..., None]
+    return jnp.where(n > 0, out / jnp.maximum(n, 1.0), 0.0)
+
+
+def _stencil_pool(patch, cnt, geom, ctrans, P, S, M, E, trans_std):
+    """Deformed per-bin average: learned offsets shift all S^2 samples
+    of a bin equally, and the S-sample box average at a shifted window
+    is a fixed tent-stack stencil on the patch — each bin is ONE row of
+    a fused [P^2, E^2] weight matrix applied as a batched matmul (MXU;
+    separable einsum chains and per-roi gathers both measured
+    slow/hostile on this backend). patch [*L, E, E, C], ctrans
+    [*L, P, P, 2] (plane 0 = dy, plane 1 = dx)."""
+    _, _, roi_w, roi_h, sub_w, sub_h = geom
+    lead = patch.shape[:-3]
+    C = patch.shape[-1]
+    off_y = (
+        ctrans[..., 0].astype(jnp.float32) * trans_std
+        * roi_h[..., None, None]
+    )  # [*L, P, P]
+    off_x = (
+        ctrans[..., 1].astype(jnp.float32) * trans_std
+        * roi_w[..., None, None]
+    )
+    dy = off_y / sub_h[..., None, None]
+    dx = off_x / sub_w[..., None, None]
+    base = S * jnp.arange(P, dtype=jnp.float32) + M
+    # window starts clamp to E - S so all S samples stay on the patch
+    py = jnp.clip(base[:, None] + dy, 0.0, float(E - S))
+    px = jnp.clip(base[None, :] + dx, 0.0, float(E - S))
+
+    grid = jnp.arange(E, dtype=jnp.float32)
+
+    def stencil(p):
+        d = p[..., None] - grid  # [*L, P, P, E] window start minus cell
+        w = jnp.zeros_like(d)
+        for k in range(S):
+            w = w + jnp.maximum(0.0, 1.0 - jnp.abs(d + k))
+        return w
+
+    w_y = stencil(py)
+    w_x = stencil(px)
+    wf = (w_y[..., :, None] * w_x[..., None, :]).reshape(
+        lead + (P * P, E * E)
+    )
+    pooled = jnp.einsum(
+        "...pe,...ec->...pc", wf.astype(_mm_dtype()),
+        patch.reshape(lead + (E * E, C)).astype(_mm_dtype()),
+        preferred_element_type=jnp.float32,
+    ).reshape(lead + (P, P, C))
+    n = jnp.einsum(
+        "...pe,...e->...p", wf, cnt.reshape(lead + (E * E,)),
+        preferred_element_type=jnp.float32,
+    ).reshape(lead + (P, P))[..., None]
+    return jnp.where(n > 0, pooled / jnp.maximum(n, 1.0), 0.0)
+
+
 def deformable_psroi_pool_fast(
     feat: jax.Array,
     rois: jax.Array,
@@ -323,11 +449,11 @@ def deformable_psroi_pool_fast(
        skinny matmuls that run on the MXU, not gathers. Sample positions
        match the CUDA kernel exactly (roi snapping, 0.1 min size,
        drop-out-of-bounds-from-count),
-    2. the per-bin S x S average becomes a sliding box-sum of that patch,
-    3. per-bin learned offsets shift all S^2 samples of a bin equally, so
-       the deformable output is ONE bilinear lookup per bin into the
-       box-summed patch (offsets expressed in patch cells) — R*P^2*4
-       small gathers total, ~16x fewer than the naive form.
+    2. the undeformed per-bin S x S average is a disjoint reshape-sum
+       over that patch (_tiled_bin_avg),
+    3. per-bin learned offsets shift all S^2 samples of a bin equally,
+       so the deformable output is a fused tent-stack stencil matmul
+       over the patch (_stencil_pool) — no per-sample gathers.
 
     Rois are processed in ``roi_chunk`` blocks under lax.map so the
     [chunk, T+2M, W, C] resize intermediate stays bounded (a full-R
@@ -383,30 +509,16 @@ def deformable_psroi_pool_fast(
         crois = args[0]
         ctrans = args[1] if trans is not None else None
         roi_batch = crois[:, 0].astype(jnp.int32)
-        x1 = jnp.round(crois[:, 1]) * spatial_scale - 0.5
-        y1 = jnp.round(crois[:, 2]) * spatial_scale - 0.5
-        x2 = (jnp.round(crois[:, 3]) + 1.0) * spatial_scale - 0.5
-        y2 = (jnp.round(crois[:, 4]) + 1.0) * spatial_scale - 0.5
-        roi_w = jnp.maximum(x2 - x1, 0.1)
-        roi_h = jnp.maximum(y2 - y1, 0.1)
-        sub_w = roi_w / T
-        sub_h = roi_h / T
+        geom = _roi_geom(crois, spatial_scale, T)
 
-        # patch cell t samples at x1 + (t - M + 0.5) * sub
-        wy, vy = _resize_matrices(y1 + (0.5 - M) * sub_h, sub_h, E, H)
-        wx, vx = _resize_matrices(x1 + (0.5 - M) * sub_w, sub_w, E, W)
-
-        # fold the batch index into the Y matrix (one-hot block embedding)
+        wy, wx, cnt = _patch_matrices(geom, M, E, H, W)
+        # fold the batch index into the Y matrix (one-hot block
+        # embedding): one big [Rc*E, B*H] x [B*H, W*C] matmul against a
+        # shared RHS. bf16 intermediates: see _extract_patch_batched.
         onehot = jax.nn.one_hot(roi_batch, B, dtype=wy.dtype)  # [Rc, B]
         wyb = (
             onehot[:, :, None, None] * wy[:, None, :, :]
         ).transpose(0, 2, 1, 3).reshape(roi_chunk, E, B * H)
-
-        # tmp/patch are the HBM hot spot (measured: the pool is
-        # bandwidth-bound on these intermediates, not FLOP-bound) — store
-        # them in the matmul dtype (bf16 on TPU; MXU still accumulates
-        # fp32 internally, and the tent matrices have <=2 nonzero terms
-        # per row, so the rounding is one bf16 quantization)
         tmp = jnp.einsum(
             "rtk,kwc->rtwc", wyb.astype(_mm_dtype()), feat_bh,
             preferred_element_type=_mm_dtype(),
@@ -415,62 +527,11 @@ def deformable_psroi_pool_fast(
             "rsw,rtwc->rtsc", wx.astype(_mm_dtype()), tmp,
             preferred_element_type=_mm_dtype(),
         )  # [Rc, E, E, C]
-        cnt = (vy[:, :, None] & vx[:, None, :]).astype(jnp.float32)
 
         if ctrans is None:
-            # M=0 here, so the S-wide bin windows tile the T x T patch
-            # exactly: disjoint reshape-sum, no sliding-window
-            # intermediates
-            out = patch.astype(jnp.float32).reshape(
-                roi_chunk, P, S, P, S, C
-            ).sum(axis=(2, 4))
-            n = cnt.reshape(roi_chunk, P, S, P, S).sum(axis=(2, 4))[..., None]
-            return jnp.where(n > 0, out / jnp.maximum(n, 1.0), 0.0)
-
-        off_y = (
-            ctrans[..., 0].astype(jnp.float32) * trans_std
-            * roi_h[:, None, None]
-        )
-        off_x = (
-            ctrans[..., 1].astype(jnp.float32) * trans_std
-            * roi_w[:, None, None]
-        )
-        dy = off_y / sub_h[:, None, None]
-        dx = off_x / sub_w[:, None, None]
-        base = S * jnp.arange(P, dtype=jnp.float32) + M
-        py = jnp.clip(base[None, :, None] + dy, 0.0, E - 4.0)
-        px = jnp.clip(base[None, None, :] + dx, 0.0, E - 4.0)
-
-        # Fused bin extraction: the S-sample box average at a shifted
-        # window equals a fixed (box conv tent) stencil applied to the
-        # patch, so each bin is ONE row of a fused weight matrix — the
-        # whole lookup becomes a single batched [P^2, E^2] x [E^2, C]
-        # matmul (MXU; separable einsum chains and per-roi gathers were
-        # both slow/hostile on this backend).
-        grid = jnp.arange(E, dtype=jnp.float32)
-        # sum_{k=0..S-1} tent(p + k - y): window-start tent stack
-        def stencil(p):
-            d = p[..., None] - grid  # [Rc,P,P,E] window start minus cell
-            w = jnp.zeros_like(d)
-            for k in range(S):
-                w = w + jnp.maximum(0.0, 1.0 - jnp.abs(d + k))
-            return w
-
-        w_y = stencil(py)  # [Rc, P, P, E]
-        w_x = stencil(px)
-        wf = (w_y[..., :, None] * w_x[..., None, :]).reshape(
-            roi_chunk, P * P, E * E
-        )
-        pooled = jnp.einsum(
-            "rbe,rec->rbc", wf.astype(_mm_dtype()),
-            patch.reshape(roi_chunk, E * E, C).astype(_mm_dtype()),
-            preferred_element_type=jnp.float32,
-        ).reshape(roi_chunk, P, P, C)
-        n = jnp.einsum(
-            "rbe,re->rb", wf, cnt.reshape(roi_chunk, E * E),
-            preferred_element_type=jnp.float32,
-        ).reshape(roi_chunk, P, P)[..., None]
-        return jnp.where(n > 0, pooled / jnp.maximum(n, 1.0), 0.0)
+            return _tiled_bin_avg(patch, cnt, P, S)
+        return _stencil_pool(patch, cnt, geom, ctrans, P, S, M, E,
+                             trans_std)
 
     if trans is None:
         out = jax.lax.map(lambda c: chunk_fn((c,)), rois_p)
@@ -524,85 +585,12 @@ def _psroi_pool_fast_batched(
     def chunk_fn(args):
         crois = args[0]  # [B, chunk_b, 5]
         ctrans = args[1] if trans is not None else None
-        x1 = jnp.round(crois[..., 1]) * spatial_scale - 0.5
-        y1 = jnp.round(crois[..., 2]) * spatial_scale - 0.5
-        x2 = (jnp.round(crois[..., 3]) + 1.0) * spatial_scale - 0.5
-        y2 = (jnp.round(crois[..., 4]) + 1.0) * spatial_scale - 0.5
-        roi_w = jnp.maximum(x2 - x1, 0.1)  # [B, chunk_b]
-        roi_h = jnp.maximum(y2 - y1, 0.1)
-        sub_w = roi_w / T
-        sub_h = roi_h / T
-
-        wy, vy = _resize_matrices(
-            (y1 + (0.5 - M) * sub_h).reshape(-1), sub_h.reshape(-1), E, H
-        )
-        wx, vx = _resize_matrices(
-            (x1 + (0.5 - M) * sub_w).reshape(-1), sub_w.reshape(-1), E, W
-        )
-        wy = wy.reshape(B, chunk_b, E, H)
-        wx = wx.reshape(B, chunk_b, E, W)
-        vy = vy.reshape(B, chunk_b, E)
-        vx = vx.reshape(B, chunk_b, E)
-
-        # bf16 intermediates: see the bandwidth note in the one-hot path
-        tmp = jnp.einsum(
-            "brth,bhwc->brtwc", wy.astype(_mm_dtype()), featc,
-            preferred_element_type=_mm_dtype(),
-        )  # [B, chunk_b, E, W, C]
-        patch = jnp.einsum(
-            "brsw,brtwc->brtsc", wx.astype(_mm_dtype()), tmp,
-            preferred_element_type=_mm_dtype(),
-        )  # [B, chunk_b, E, E, C]
-        cnt = (vy[..., :, None] & vx[..., None, :]).astype(jnp.float32)
-
+        geom = _roi_geom(crois, spatial_scale, T)
+        patch, cnt = _extract_patch_batched(featc, crois, geom, M, E)
         if ctrans is None:
-            # M=0: disjoint bin tiling, reshape-sum (see one-hot path)
-            out = patch.astype(jnp.float32).reshape(
-                B, chunk_b, P, S, P, S, C
-            ).sum(axis=(3, 5))
-            n = cnt.reshape(B, chunk_b, P, S, P, S).sum(
-                axis=(3, 5)
-            )[..., None]
-            return jnp.where(n > 0, out / jnp.maximum(n, 1.0), 0.0)
-
-        off_y = (
-            ctrans[..., 0].astype(jnp.float32) * trans_std
-            * roi_h[..., None, None]
-        )  # [B, chunk_b, P, P]
-        off_x = (
-            ctrans[..., 1].astype(jnp.float32) * trans_std
-            * roi_w[..., None, None]
-        )
-        dy = off_y / sub_h[..., None, None]
-        dx = off_x / sub_w[..., None, None]
-        base = S * jnp.arange(P, dtype=jnp.float32) + M
-        py = jnp.clip(base[None, None, :, None] + dy, 0.0, E - 4.0)
-        px = jnp.clip(base[None, None, None, :] + dx, 0.0, E - 4.0)
-
-        grid = jnp.arange(E, dtype=jnp.float32)
-
-        def stencil(p):
-            d = p[..., None] - grid  # [B, chunk_b, P, P, E]
-            w = jnp.zeros_like(d)
-            for k in range(S):
-                w = w + jnp.maximum(0.0, 1.0 - jnp.abs(d + k))
-            return w
-
-        w_y = stencil(py)
-        w_x = stencil(px)
-        wf = (w_y[..., :, None] * w_x[..., None, :]).reshape(
-            B, chunk_b, P * P, E * E
-        )
-        pooled = jnp.einsum(
-            "brpe,brec->brpc", wf.astype(_mm_dtype()),
-            patch.reshape(B, chunk_b, E * E, C).astype(_mm_dtype()),
-            preferred_element_type=jnp.float32,
-        ).reshape(B, chunk_b, P, P, C)
-        n = jnp.einsum(
-            "brpe,bre->brp", wf, cnt.reshape(B, chunk_b, E * E),
-            preferred_element_type=jnp.float32,
-        ).reshape(B, chunk_b, P, P)[..., None]
-        return jnp.where(n > 0, pooled / jnp.maximum(n, 1.0), 0.0)
+            return _tiled_bin_avg(patch, cnt, P, S)
+        return _stencil_pool(patch, cnt, geom, ctrans, P, S, M, E,
+                             trans_std)
 
     if trans is None:
         out = jax.lax.map(lambda c: chunk_fn((c,)), rois_p)
@@ -611,11 +599,6 @@ def _psroi_pool_fast_batched(
     # [n_chunks, B, chunk_b, P, P, C] -> [B*rpi, P, P, C]
     out = jnp.moveaxis(out, 0, 1).reshape(B, n_chunks * chunk_b, P, P, C)
     return out[:, :rpi].reshape(B * rpi, P, P, C)
-
-
-def _scale_grad(x, scale):
-    """Identity with scaled gradient (lr_mult emulation, jit-safe)."""
-    return x * scale + jax.lax.stop_gradient(x * (1.0 - scale))
 
 
 def rcnn_head_fused(
@@ -679,87 +662,26 @@ def rcnn_head_fused(
     featc = feat.astype(_mm_dtype())
 
     def chunk_fn(crois):  # [B, chunk_b, 5]
-        x1 = jnp.round(crois[..., 1]) * spatial_scale - 0.5
-        y1 = jnp.round(crois[..., 2]) * spatial_scale - 0.5
-        x2 = (jnp.round(crois[..., 3]) + 1.0) * spatial_scale - 0.5
-        y2 = (jnp.round(crois[..., 4]) + 1.0) * spatial_scale - 0.5
-        roi_w = jnp.maximum(x2 - x1, 0.1)
-        roi_h = jnp.maximum(y2 - y1, 0.1)
-        sub_w = roi_w / T
-        sub_h = roi_h / T
-
-        wy, vy = _resize_matrices(
-            (y1 + (0.5 - M) * sub_h).reshape(-1), sub_h.reshape(-1), E, H
-        )
-        wx, vx = _resize_matrices(
-            (x1 + (0.5 - M) * sub_w).reshape(-1), sub_w.reshape(-1), E, W
-        )
-        wy = wy.reshape(B, chunk_b, E, H)
-        wx = wx.reshape(B, chunk_b, E, W)
-        vy = vy.reshape(B, chunk_b, E)
-        vx = vx.reshape(B, chunk_b, E)
-
-        tmp = jnp.einsum(
-            "brth,bhwc->brtwc", wy.astype(_mm_dtype()), featc,
-            preferred_element_type=_mm_dtype(),
-        )
-        patch = jnp.einsum(
-            "brsw,brtwc->brtsc", wx.astype(_mm_dtype()), tmp,
-            preferred_element_type=_mm_dtype(),
-        )  # [B, chunk_b, E, E, C]
-        cnt = (vy[..., :, None] & vx[..., None, :]).astype(jnp.float32)
+        geom = _roi_geom(crois, spatial_scale, T)
+        patch, cnt = _extract_patch_batched(featc, crois, geom, M, E)
 
         # pass 1: undeformed bins from the central cells of the SAME
-        # patch (identical resize rows -> bit-equal to an M=0 pool).
-        # The S-wide windows tile the central T x T region exactly, so
-        # the per-bin sum is a disjoint reshape-sum — no sliding-window
-        # intermediates (a box4 chain here materializes ~E^2-sized fp32
-        # tensors per step and was the measured bandwidth killer)
-        pc = patch[:, :, M:M + T, M:M + T, :].astype(jnp.float32)
-        o1 = pc.reshape(B, chunk_b, P, S, P, S, C).sum(axis=(3, 5))
-        cc = cnt[:, :, M:M + T, M:M + T]
-        n1 = cc.reshape(B, chunk_b, P, S, P, S).sum(axis=(3, 5))[..., None]
-        offset_t = jnp.where(n1 > 0, o1 / jnp.maximum(n1, 1.0), 0.0)
+        # patch — bit-equal to an M=0 pool because the margin patch's
+        # interior resize rows coincide with the M=0 grid's
+        offset_t = _tiled_bin_avg(
+            patch[:, :, M:M + T, M:M + T, :],
+            cnt[:, :, M:M + T, M:M + T], P, S,
+        )
 
         # offset FC (zeros-init, lr-dampened like the reference lr_mult)
         off = (
             offset_t.reshape(B, chunk_b, P * P * C) @ off_k + off_b
         )
-        off = _scale_grad(off, offset_grad_mult)
-        trans = off.reshape(B, chunk_b, 2, P, P).transpose(0, 1, 3, 4, 2)
+        off = grad_scale(off, offset_grad_mult)
+        ctrans = off.reshape(B, chunk_b, 2, P, P).transpose(0, 1, 3, 4, 2)
 
-        off_y = trans[..., 0] * trans_std * roi_h[..., None, None]
-        off_x = trans[..., 1] * trans_std * roi_w[..., None, None]
-        dy = off_y / sub_h[..., None, None]
-        dx = off_x / sub_w[..., None, None]
-        base = S * jnp.arange(P, dtype=jnp.float32) + M
-        py = jnp.clip(base[None, None, :, None] + dy, 0.0, E - 4.0)
-        px = jnp.clip(base[None, None, None, :] + dx, 0.0, E - 4.0)
-
-        grid = jnp.arange(E, dtype=jnp.float32)
-
-        def stencil(p):
-            d = p[..., None] - grid
-            w = jnp.zeros_like(d)
-            for k in range(S):
-                w = w + jnp.maximum(0.0, 1.0 - jnp.abs(d + k))
-            return w
-
-        w_y = stencil(py)
-        w_x = stencil(px)
-        wf = (w_y[..., :, None] * w_x[..., None, :]).reshape(
-            B, chunk_b, P * P, E * E
-        )
-        pooled = jnp.einsum(
-            "brpe,brec->brpc", wf.astype(_mm_dtype()),
-            patch.reshape(B, chunk_b, E * E, C).astype(_mm_dtype()),
-            preferred_element_type=jnp.float32,
-        )
-        n2 = jnp.einsum(
-            "brpe,bre->brp", wf, cnt.reshape(B, chunk_b, E * E),
-            preferred_element_type=jnp.float32,
-        )[..., None]
-        pooled = jnp.where(n2 > 0, pooled / jnp.maximum(n2, 1.0), 0.0)
+        pooled = _stencil_pool(patch, cnt, geom, ctrans, P, S, M, E,
+                               trans_std)
         return pooled.reshape(B, chunk_b, P * P * C)
 
     # pooled features leave the loop; the head FCs run once over the

@@ -283,15 +283,50 @@ def test_psroi_fast_batched_path_matches_onehot(rng):
         )
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
-    ga = jax.grad(
-        lambda f: deformable_psroi_pool_fast(f, rois, trans).sum()
-    )(feat)
-    gb = jax.grad(
-        lambda f: deformable_psroi_pool_fast(
-            f, rois, trans, rois_per_image=rpi
-        ).sum()
-    )(feat)
+    ga, ta = jax.grad(
+        lambda f, t: (deformable_psroi_pool_fast(f, rois, t) ** 2).sum(),
+        argnums=(0, 1),
+    )(feat, trans)
+    gb, tb = jax.grad(
+        lambda f, t: (deformable_psroi_pool_fast(
+            f, rois, t, rois_per_image=rpi
+        ) ** 2).sum(),
+        argnums=(0, 1),
+    )(feat, trans)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-3)
+    # trans (offset) gradients flow through the structurally different
+    # batched stencil layout too
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), atol=1e-3)
+
+
+def test_psroi_fast_batched_pool14_mask_config(rng):
+    """The mask branch routes pooled_size=14 through the batched path
+    during training; check it against the one-hot path, values + trans
+    grads."""
+    from sniper_tpu.ops.deform import deformable_psroi_pool_fast
+
+    B, fh, fw, C, rpi, P = 2, 10, 12, 8, 9, 14
+    feat = jnp.asarray(rng.randn(B, fh, fw, C).astype(np.float32))
+    rois = _contiguous_rois(rng, B, rpi, fh, fw)
+    trans = jnp.asarray(
+        (rng.randn(B * rpi, P, P, 2) * 0.5).astype(np.float32)
+    )
+    a = deformable_psroi_pool_fast(feat, rois, trans, pooled_size=P)
+    b = deformable_psroi_pool_fast(
+        feat, rois, trans, pooled_size=P, rois_per_image=rpi
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    ta = jax.grad(
+        lambda t: (deformable_psroi_pool_fast(
+            feat, rois, t, pooled_size=P
+        ) ** 2).sum()
+    )(trans)
+    tb = jax.grad(
+        lambda t: (deformable_psroi_pool_fast(
+            feat, rois, t, pooled_size=P, rois_per_image=rpi
+        ) ** 2).sum()
+    )(trans)
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), atol=1e-3)
 
 
 def test_rcnn_head_fused_matches_two_pool_composition(rng):
