@@ -182,7 +182,11 @@ class SNIPERDetector(nn.Module):
                 from sniper_tpu.ops.mask_target import mask_targets_from_dense
                 from sniper_tpu.models.heads import grad_scale as _gs
 
-                m = self.num_mask_rois
+                # the mask branch pools the first num_mask_rois sampled
+                # rois (fg-first slot order); cap at the sampler's roi
+                # count — tgt.rois[:, :m] would silently shrink otherwise
+                # and desync the reshape below
+                m = min(self.num_mask_rois, self.num_rois)
                 # fg rois come first in the sampler's slot ordering
                 mask_rois = jax.lax.stop_gradient(tgt.rois[:, :m])
                 mask_gids = tgt.matched_gt[:, :m]

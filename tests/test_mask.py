@@ -201,3 +201,35 @@ def test_masks_to_results():
     assert len(res) == 1
     assert res[0]["category_id"] == 18
     assert res[0]["segmentation"]["size"] == [50, 60]
+
+
+def test_mask_detector_train_forward_caps_mask_rois():
+    """num_mask_rois > num_rois must not desync shapes: the mask branch
+    caps at the sampler's roi count (regression: TypeError reshape in
+    the on-device mask smoke with num_rois=32 < default 50)."""
+    from sniper_tpu.models.detector import SNIPERDetector
+
+    B, H, W = 1, 64, 64
+    model = SNIPERDetector(
+        num_classes=5, num_anchors=9, anchor_scales=(2, 4, 7),
+        anchor_ratios=(0.5, 1, 2), units=(1, 1, 1, 1), with_mask=True,
+        num_mask_rois=50, pre_nms_top_n=100, post_nms_top_n=8, num_rois=8,
+        dtype=jnp.float32,
+    )
+    data = jnp.zeros((B, H, W, 3))
+    im_info = jnp.asarray([[H, W, 1.0]])
+    gt = jnp.full((B, 6, 5), -1.0)
+    gt = gt.at[:, 0].set(jnp.asarray([8.0, 8, 40, 40, 2]))
+    vr = jnp.asarray([[0.0, 512.0]])
+    masks = jnp.zeros((B, 6, 112, 112))
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        data, im_info, gt, vr, gt_masks=masks, train=True,
+    )
+    out, _ = model.apply(
+        v, data, im_info, gt, vr, gt_masks=masks, train=True,
+        rngs={"sampling": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+    )
+    # capped at num_rois=8
+    assert out["mask_logits"].shape == (8, 28, 28, 2)
+    assert out["mask_targets"].shape == (8, 28, 28)
