@@ -85,6 +85,13 @@ def default_config() -> AttrDict:
     n.ANCHOR_SCALES = (8, 16, 32)
     n.ANCHOR_RATIOS = (0.5, 1, 2)
     n.NUM_ANCHORS = 9
+    # TPU-only knob (no reference analog): patch halo, in 7x7 bins, that
+    # the fused deformable-ROI head's stencil pool can shift into;
+    # per-bin offsets past it clamp (|trans| > margin/(trans_std*P) =
+    # 1.43/margin_bin). 1 shrinks the patch 44->36 cells/axis (head
+    # 25-35% faster); trained offsets measured 4.4x below the clamp
+    # (scripts/profile_margin.py). Set 2 for the conservative halo.
+    n.HEAD_MARGIN_BINS = 1
 
     # dataset
     d = c.dataset = AttrDict()

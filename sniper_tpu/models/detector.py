@@ -48,6 +48,12 @@ class SNIPERDetector(nn.Module):
     # neg-chip pipeline (reference get_symbol_rpn, :157-227)
     num_mask_rois: int = 50
     mask_size: int = 28
+    # R-CNN head stencil-pool halo in bins (network.HEAD_MARGIN_BINS);
+    # trained offsets beyond it clamp — see ops.deform.rcnn_head_fused.
+    # Default 1 (patch 44->36 cells/axis, head ~25-35% faster): trained
+    # offsets measured on the overfit checkpoint peak at |trans|=0.32,
+    # 4.4x below the margin-1 clamp (scripts/profile_margin.py)
+    head_margin_bins: int = 1
     dtype: Any = jnp.bfloat16
     # proposal op params. The TEST.* RPN keys drive the inference branch
     # (reference MultiProposal attrs, resnet_mx_101_e2e.py:347-355); the
@@ -146,7 +152,8 @@ class SNIPERDetector(nn.Module):
 
         head = RCNNHead(
             self.num_classes, spatial_scale=1.0 / self.feat_stride,
-            fc_dim=self.head_fc_dim, name="rcnn",
+            fc_dim=self.head_fc_dim, margin_bins=self.head_margin_bins,
+            name="rcnn",
         )
 
         if train:

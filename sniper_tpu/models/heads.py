@@ -89,6 +89,10 @@ class RCNNHead(nn.Module):
     # fused=False is the reference-shaped two-pool composition, kept as
     # the numerical oracle for the fused path.
     fused: bool = True
+    # patch halo (in bins) the stencil pool can shift into; offsets
+    # beyond it clamp. See ops.deform.rcnn_head_fused / config
+    # network.HEAD_MARGIN_BINS.
+    margin_bins: int = 1
 
     @nn.compact
     def __call__(self, roi_feat_map, rois):
@@ -122,6 +126,7 @@ class RCNNHead(nn.Module):
                 rois_per_image=rpi, pooled_size=P,
                 spatial_scale=self.spatial_scale,
                 offset_grad_mult=self.offset_lr_mult,
+                margin_bins=self.margin_bins,
             )
 
         # general path: respects the rois' batch-index column

@@ -43,6 +43,9 @@ def _resnet(units):
             fg_thresh=float(cfg.TRAIN.FG_THRESH),
             bg_thresh_hi=float(cfg.TRAIN.BG_THRESH_HI),
             bg_thresh_lo=float(cfg.TRAIN.BG_THRESH_LO),
+            head_margin_bins=int(
+                getattr(cfg.network, "HEAD_MARGIN_BINS", 1)
+            ),
         )
         kw.update(overrides)
         return SNIPERDetector(**kw)

@@ -67,6 +67,12 @@ def test_post_nms_override_changes_roi_count():
     assert out["cls_prob"].shape[1] == 11
 
 
+def test_margin_bins_forwarded():
+    cfg = load_config(YML, ["network.HEAD_MARGIN_BINS", "2"])
+    assert get_model(cfg).head_margin_bins == 2
+    assert get_model(load_config(YML, [])).head_margin_bins == 1
+
+
 def test_ohem_wiring():
     """ENABLE_OHEM routes through total_loss and prunes soft rois."""
     from sniper_tpu.models.losses import total_loss

@@ -180,6 +180,30 @@ def test_psroi_fast_small_trans_close_to_reference(rng):
     np.testing.assert_allclose(fast, ref, atol=0.05)
 
 
+def test_psroi_fast_margin1_matches_margin2(rng):
+    """margin_bins only sets the patch halo: offsets within 1 bin of
+    the roi edge are identical between margin 1 and 2 (interior patch
+    cells coincide); only shifts past the smaller halo clamp."""
+    from sniper_tpu.ops.deform import deformable_psroi_pool_fast
+
+    feat = rng.randn(2, 20, 20, 4).astype(np.float32)
+    rois = np.array(
+        [[0, 30, 30, 200, 260], [1, 0, 0, 310, 310], [0, 80, 40, 300, 200]],
+        np.float32,
+    )
+    # |trans| <= 1.0 -> shift <= trans_std * P = 0.7 bins < 1-bin halo
+    trans = np.clip(rng.randn(3, 7, 7, 2) * 0.5, -1.0, 1.0).astype(
+        np.float32
+    )
+    outs = {}
+    for m in (1, 2):
+        outs[m] = np.asarray(deformable_psroi_pool_fast(
+            jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(trans),
+            margin_bins=m,
+        ))
+    np.testing.assert_allclose(outs[1], outs[2], atol=5e-3)
+
+
 def test_psroi_fast_differentiable(rng):
     from sniper_tpu.ops.deform import deformable_psroi_pool_fast
 
@@ -339,8 +363,12 @@ def test_rcnn_head_fused_matches_two_pool_composition(rng):
     feat = jnp.asarray(rng.randn(B, fh, fw, C).astype(np.float32))
     rois = _contiguous_rois(rng, B, rpi, fh, fw)
 
+    # margin_bins=2: the random 0.05 offset kernel produces shifts past
+    # the default 1-bin halo; the wide halo keeps fused == composition
+    # (clamp semantics at margin 1 are pinned by
+    # test_psroi_fast_margin1_matches_margin2)
     h_ref = RCNNHead(num_classes=7, fc_dim=48, fused=False)
-    h_fus = RCNNHead(num_classes=7, fc_dim=48, fused=True)
+    h_fus = RCNNHead(num_classes=7, fc_dim=48, fused=True, margin_bins=2)
     vs = h_ref.init(jax.random.PRNGKey(0), feat, rois)
     # non-zero offset kernel so the second pass actually deforms
     p = {k: dict(v) for k, v in vs["params"].items()}
