@@ -126,14 +126,27 @@ def main():
     logger, out_dir = create_logger(cfg.output_path or "./output", name,
                                     str(cfg.dataset.image_set))
 
+    # multi-host DP: join the global mesh before the first device query
+    from sniper_tpu.parallel.distributed import (
+        maybe_init_distributed,
+        shard_roidb,
+    )
+
+    pid, nprocs = maybe_init_distributed(cfg, logger)
+
     n_dev = len(jax.devices()) if cfg.parallel.num_devices < 0 else \
         cfg.parallel.num_devices
     mesh = make_mesh(n_dev)
     batch_size = cfg.TRAIN.BATCH_IMAGES * n_dev
-    logger.info(f"devices={n_dev} global_batch={batch_size}")
+    # each process loads/feeds only its slice of the global batch
+    local_batch = batch_size // nprocs
+    logger.info(f"devices={n_dev} global_batch={batch_size} "
+                f"processes={nprocs} local_batch={local_batch}")
 
-    roidb = build_roidb(cfg, logger)
-    loader = ChipLoader(roidb, cfg, batch_size, seed=cfg.TRAIN.seed)
+    roidb = shard_roidb(build_roidb(cfg, logger), pid, nprocs)
+    if nprocs > 1:
+        logger.info(f"process {pid}: {len(roidb)} roidb images")
+    loader = ChipLoader(roidb, cfg, local_batch, seed=cfg.TRAIN.seed + pid)
 
     model = get_model(cfg)
     n_chips = loader.reset()
@@ -172,14 +185,23 @@ def main():
                                 cfg.TRAIN.begin_epoch)
         logger.info(f"resumed from epoch {cfg.TRAIN.begin_epoch}")
 
+    import itertools
+
+    from sniper_tpu.parallel.distributed import global_min_steps
+
     key = jax.random.PRNGKey(cfg.TRAIN.seed)
     step = int(state.step)
     for epoch in range(cfg.TRAIN.begin_epoch, cfg.TRAIN.end_epoch):
         if epoch > cfg.TRAIN.begin_epoch:
             n_chips = loader.reset()
             logger.info(f"epoch {epoch}: {n_chips} chips")
+        # every step is a collective over the global mesh: all processes
+        # must run the same count, so truncate to the global minimum
+        steps_this_epoch = global_min_steps(len(loader))
         tracker = MetricTracker()
-        for batch in Prefetcher(iter(loader)):
+        for batch in itertools.islice(
+            Prefetcher(iter(loader)), steps_this_epoch
+        ):
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, shard_batch(mesh, batch), sub)
             tracker.update(

@@ -217,6 +217,11 @@ def default_config() -> AttrDict:
     p.data_axis = "data"
     p.num_devices = -1  # -1 → all visible devices
     p.sync_batchnorm = False  # reference trains per-device BN stats
+    # multi-host DP (parallel/distributed.py); env fallbacks
+    # SNIPER_COORDINATOR / SNIPER_NUM_PROCESSES / SNIPER_PROCESS_ID
+    p.coordinator_address = ""  # "host:port" of process 0
+    p.num_processes = 0         # 0/1 → single-process (no-op)
+    p.process_id = -1           # this process's rank
 
     return c
 

@@ -11,9 +11,10 @@ documented deviation from the reference's per-GPU BN — see
 ARCHITECTURE.md and train/trainer.py).
 
 A CNN detector has no sequence/expert axes, so TP/PP/SP/EP meshes are
-deliberately absent (SURVEY.md §2.10); the mesh helper still accepts an
-arbitrary device count so multi-host DP composes later via
-jax.distributed.
+deliberately absent (SURVEY.md §2.10). Multi-host DP extends the same
+1-D mesh across processes — see parallel/distributed.py (the mesh spans
+jax.devices() = all global devices once jax.distributed is initialized,
+and shard_batch assembles global arrays from per-process local data).
 """
 
 from __future__ import annotations
@@ -45,6 +46,16 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
             lambda x: jax.device_put(x, dev), batch
         )
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        # multi-host: this process holds only its shard of the global
+        # batch (parallel/distributed.py shards the roidb the same way);
+        # assemble the global jax.Array from per-process local data
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
