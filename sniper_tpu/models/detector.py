@@ -182,12 +182,9 @@ class SNIPERDetector(nn.Module):
                 "focus_logits": focus_logits,
             }
             if self.with_mask:
-                from sniper_tpu.models.heads import MaskHead
-                from sniper_tpu.ops.deform import (
-                    deformable_psroi_pool_fast as deformable_psroi_pool,
-                )
+                from sniper_tpu.models.heads import MaskHead, _Lin
+                from sniper_tpu.ops.deform import fused_offset_pool
                 from sniper_tpu.ops.mask_target import mask_targets_from_dense
-                from sniper_tpu.models.heads import grad_scale as _gs
 
                 # the mask branch pools the first num_mask_rois sampled
                 # rois (fg-first slot order); cap at the sampler's roi
@@ -198,21 +195,19 @@ class SNIPERDetector(nn.Module):
                 mask_rois = jax.lax.stop_gradient(tgt.rois[:, :m])
                 mask_gids = tgt.matched_gt[:, :m]
                 mr_flat = mask_rois.reshape(-1, 5)
-                # two-pass deformable 14x14 pooling (mask variant)
-                off_t = deformable_psroi_pool(
-                    roi_feat_map, mr_flat, None, pooled_size=14,
-                    spatial_scale=1.0 / self.feat_stride, rois_per_image=m,
-                )
-                off = nn.Dense(
-                    14 * 14 * 2, kernel_init=nn.initializers.zeros,
-                    name="mask_offset",
-                )(off_t.reshape(mr_flat.shape[0], -1))
-                off = _gs(off, 0.01)
-                trans = off.reshape(-1, 2, 14, 14).transpose(0, 2, 3, 1)
-                pooled = deformable_psroi_pool(
-                    roi_feat_map, mr_flat, trans, pooled_size=14,
-                    spatial_scale=1.0 / self.feat_stride, rois_per_image=m,
-                )
+                # two-pass deformable 14x14 pooling (mask variant):
+                # single patch extraction, offset FC inside the chunk
+                # loop (_Lin keeps nn.Dense's param tree layout)
+                C_m = roi_feat_map.shape[-1]
+                offm = _Lin(14 * 14 * C_m, 14 * 14 * 2,
+                            kernel_init=nn.initializers.zeros,
+                            name="mask_offset")
+                pooled = fused_offset_pool(
+                    roi_feat_map, mr_flat, offm.kernel, offm.bias,
+                    rois_per_image=m, pooled_size=14,
+                    spatial_scale=1.0 / self.feat_stride,
+                    margin_bins=self.head_margin_bins,
+                ).reshape(-1, 14, 14, C_m)
                 logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
                 targets, cls_ids = mask_targets_from_dense(
                     mask_rois, mask_gids, gt_boxes, gt_masks,
@@ -263,26 +258,19 @@ class SNIPERDetector(nn.Module):
             # mask branch at inference: pool every kept roi, predict the
             # 2-channel plane of its argmax class only (fetching all 80
             # class planes would be 80x the bytes)
-            from sniper_tpu.models.heads import MaskHead
-            from sniper_tpu.models.heads import grad_scale as _gs
-            from sniper_tpu.ops.deform import (
-                deformable_psroi_pool_fast as deformable_psroi_pool,
-            )
+            from sniper_tpu.models.heads import MaskHead, _Lin
+            from sniper_tpu.ops.deform import fused_offset_pool
 
-            off_t = deformable_psroi_pool(
-                roi_feat_map, rois_flat, None, pooled_size=14,
-                spatial_scale=1.0 / self.feat_stride, rois_per_image=n,
-            )
-            off = nn.Dense(
-                14 * 14 * 2, kernel_init=nn.initializers.zeros,
-                name="mask_offset",
-            )(off_t.reshape(rois_flat.shape[0], -1))
-            off = _gs(off, 0.01)
-            trans = off.reshape(-1, 2, 14, 14).transpose(0, 2, 3, 1)
-            pooled = deformable_psroi_pool(
-                roi_feat_map, rois_flat, trans, pooled_size=14,
-                spatial_scale=1.0 / self.feat_stride, rois_per_image=n,
-            )
+            C_m = roi_feat_map.shape[-1]
+            offm = _Lin(14 * 14 * C_m, 14 * 14 * 2,
+                        kernel_init=nn.initializers.zeros,
+                        name="mask_offset")
+            pooled = fused_offset_pool(
+                roi_feat_map, rois_flat, offm.kernel, offm.bias,
+                rois_per_image=n, pooled_size=14,
+                spatial_scale=1.0 / self.feat_stride,
+                margin_bins=self.head_margin_bins,
+            ).reshape(-1, 14, 14, C_m)
             logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
             nfg = self.num_classes - 1
             best_cls = jnp.argmax(cls_prob[..., 1:], axis=-1).reshape(-1)

@@ -601,10 +601,11 @@ def _psroi_pool_fast_batched(
     return out[:, :rpi].reshape(B * rpi, P, P, C)
 
 
-def rcnn_head_fused(
+def fused_offset_pool(
     feat,
     rois,
-    head_params,
+    off_k,
+    off_b,
     *,
     rois_per_image: int,
     pooled_size: int = 7,
@@ -615,27 +616,26 @@ def rcnn_head_fused(
     roi_chunk: int = 64,
     offset_grad_mult: float = 0.01,
 ):
-    """The full two-pass deformable-ROI R-CNN head in ONE chunked loop.
+    """Two-pass deformable ROI pooling with ONE patch extraction.
 
     Calling deformable_psroi_pool_fast twice extracts each roi's
     (E x E) patch twice (the offset-predictor pass and the offset-guided
     pass resample identical geometry — only the final bin lookup
     differs), and every intermediate (offset_t, pooled) round-trips HBM
     between the flax layers. Measured on v5e, the no_trans pass alone is
-    ~12-14ms per 2400/1200 rois — pure re-extraction. Everything after
-    the patch is per-roi (the offset FC and head FCs have no cross-roi
-    dependency), so the whole head fuses into the chunk loop:
+    ~12-14ms per 2400/1200 rois — pure re-extraction. The offset FC is
+    per-roi, so the whole two-pass pool fuses into the chunk loop:
 
       extract margin patch once -> pass-1 bins from its central cells
       (bit-identical to the M=0 pool: interior resize rows coincide) ->
-      offset FC -> stencil lookup -> head FCs,
+      offset FC (off_k/off_b, zeros-init, offset_grad_mult emulating the
+      reference lr_mult) -> stencil lookup.
 
-    with the patch staying chunk-local. ``head_params`` is the tuple
-    (offset_k, offset_b, fc1_k, fc1_b, fc2_k, fc2_b, cls_k, cls_b,
-    bbox_k, bbox_b) of raw [in, out]/[out] arrays (the flax module holds
-    them; see models/heads.RCNNHead). Rois must be image-contiguous
-    (rois_per_image, as the proposal ops emit). Returns
-    (cls_score [R, num_classes], bbox_pred [R, 4]), fp32.
+    Rois must be image-contiguous (rois_per_image, as the proposal ops
+    emit). Returns pooled [B*rpi, P*P*C] fp32. Shared by the 7x7 R-CNN
+    head (rcnn_head_fused) and the 14x14 mask-branch pooling
+    (models/detector.py; reference two-pool composition
+    resnet_mx_101_e2e_mask.py mask symbol).
     """
     B, H, W, C = feat.shape
     P = pooled_size
@@ -644,7 +644,6 @@ def rcnn_head_fused(
     M = margin_bins * S
     E = T + 2 * M
     rpi = rois_per_image
-    (off_k, off_b, f1_k, f1_b, f2_k, f2_b, c_k, c_b, b_k, b_b) = head_params
 
     chunk_b = max(1, roi_chunk // B)
     n_chunks = -(-rpi // chunk_b)
@@ -673,7 +672,6 @@ def rcnn_head_fused(
             cnt[:, :, M:M + T, M:M + T], P, S,
         )
 
-        # offset FC (zeros-init, lr-dampened like the reference lr_mult)
         off = (
             offset_t.reshape(B, chunk_b, P * P * C) @ off_k + off_b
         )
@@ -684,14 +682,45 @@ def rcnn_head_fused(
                                trans_std)
         return pooled.reshape(B, chunk_b, P * P * C)
 
-    # pooled features leave the loop; the head FCs run once over the
-    # full roi axis (M = R) — inside the loop they'd run at M = chunk
-    # per step and re-stream the 12544x1024 weights every iteration
-    # (measured 2x slower overall)
     pooled = jax.lax.map(chunk_fn, rois_p)  # [n_chunks, B, chunk_b, PPC]
-    pooled = jnp.moveaxis(pooled, 0, 1).reshape(
+    return jnp.moveaxis(pooled, 0, 1).reshape(
         B, n_chunks * chunk_b, P * P * C
     )[:, :rpi].reshape(B * rpi, P * P * C)
+
+
+def rcnn_head_fused(
+    feat,
+    rois,
+    head_params,
+    *,
+    rois_per_image: int,
+    pooled_size: int = 7,
+    sample_per_part: int = 4,
+    spatial_scale: float = 0.0625,
+    trans_std: float = 0.1,
+    margin_bins: int = 2,
+    roi_chunk: int = 64,
+    offset_grad_mult: float = 0.01,
+):
+    """fused_offset_pool + the R-CNN FC stack.
+
+    ``head_params`` is the tuple (offset_k, offset_b, fc1_k, fc1_b,
+    fc2_k, fc2_b, cls_k, cls_b, bbox_k, bbox_b) of raw [in, out]/[out]
+    arrays (the flax module holds them; see models/heads.RCNNHead).
+    Returns (cls_score [R, num_classes], bbox_pred [R, 4]), fp32.
+
+    The FCs run once over the full roi axis, OUTSIDE the pool's chunk
+    loop — inside they'd run at M = chunk per step and re-stream the
+    12544x1024 weights every iteration (measured 2x slower overall).
+    """
+    (off_k, off_b, f1_k, f1_b, f2_k, f2_b, c_k, c_b, b_k, b_b) = head_params
+    pooled = fused_offset_pool(
+        feat, rois, off_k, off_b, rois_per_image=rois_per_image,
+        pooled_size=pooled_size, sample_per_part=sample_per_part,
+        spatial_scale=spatial_scale, trans_std=trans_std,
+        margin_bins=margin_bins, roi_chunk=roi_chunk,
+        offset_grad_mult=offset_grad_mult,
+    )
     h = jax.nn.relu(pooled @ f1_k + f1_b)
     h = jax.nn.relu(h @ f2_k + f2_b)
     return h @ c_k + c_b, h @ b_k + b_b
