@@ -169,7 +169,9 @@ class SNIPERDetector(nn.Module):
                 bbox_means=tuple(self.bbox_means),
             )
             rois_flat = jax.lax.stop_gradient(tgt.rois.reshape(-1, 5))
-            cls_score, bbox_pred = head(roi_feat_map, rois_flat)
+            # roi_chunk=32: the train fwd+bwd optimum (profile_head_train)
+            cls_score, bbox_pred = head(roi_feat_map, rois_flat,
+                                        roi_chunk=32)
             out = {
                 "rpn_cls_logits": rpn_cls_logits,  # [B,H,W,2,A]
                 "rpn_bbox_pred": rpn_bbox,         # [B,4A,H,W]
@@ -202,11 +204,14 @@ class SNIPERDetector(nn.Module):
                 offm = _Lin(14 * 14 * C_m, 14 * 14 * 2,
                             kernel_init=nn.initializers.zeros,
                             name="mask_offset")
+                # roi_chunk=B -> 1 roi/img/lax.map step: the 14x14
+                # pool's (T+2M)^2 patches are 4x the head's; measured
+                # fastest at every shape (profile_head_train sweep)
                 pooled = fused_offset_pool(
                     roi_feat_map, mr_flat, offm.kernel, offm.bias,
                     rois_per_image=m, pooled_size=14,
                     spatial_scale=1.0 / self.feat_stride,
-                    margin_bins=self.head_margin_bins,
+                    margin_bins=self.head_margin_bins, roi_chunk=b,
                 ).reshape(-1, 14, 14, C_m)
                 logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
                 targets, cls_ids = mask_targets_from_dense(
@@ -269,7 +274,7 @@ class SNIPERDetector(nn.Module):
                 roi_feat_map, rois_flat, offm.kernel, offm.bias,
                 rois_per_image=n, pooled_size=14,
                 spatial_scale=1.0 / self.feat_stride,
-                margin_bins=self.head_margin_bins,
+                margin_bins=self.head_margin_bins, roi_chunk=b,
             ).reshape(-1, 14, 14, C_m)
             logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
             nfg = self.num_classes - 1

@@ -95,9 +95,15 @@ class RCNNHead(nn.Module):
     margin_bins: int = 1
 
     @nn.compact
-    def __call__(self, roi_feat_map, rois):
+    def __call__(self, roi_feat_map, rois, roi_chunk: int | None = None):
         """roi_feat_map [B,H,W,256] fp32 (conv_new_1 output), rois [R,5].
         Returns (cls_score [R,num_classes], bbox_pred [R,4]).
+
+        ``roi_chunk`` bounds the pool's per-lax.map-step roi block.
+        Swept on v5e (scripts/profile_head_train.py): inference forward
+        bottoms at 16 across all three test canvases; the train-step
+        fwd+bwd bottoms at 32 (B=16 chips -> 2 rois/img/step). Default
+        (None) = 16; the detector passes 32 in train mode.
 
         When R is a multiple of B, rois are assumed IMAGE-CONTIGUOUS
         (roi i belongs to image i // (R/B), how the proposal ops emit
@@ -127,6 +133,7 @@ class RCNNHead(nn.Module):
                 spatial_scale=self.spatial_scale,
                 offset_grad_mult=self.offset_lr_mult,
                 margin_bins=self.margin_bins,
+                roi_chunk=roi_chunk or 16,
             )
 
         # general path: respects the rois' batch-index column
