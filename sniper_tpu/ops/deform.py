@@ -188,11 +188,18 @@ def _make_im2col(num_groups: int, K: int, dilation: int):
                         (xgrid == x0f).astype(mmd) * (1 - lxf)
                         + (xgrid == x0f + 1).astype(mmd) * lxf
                     )  # [B,Q,W]
-                    d = wx[:, :, :, None] * gq[:, :, None, :]  # [B,Q,W,cg]
-                    gx_g = jnp.einsum(
-                        "bqy,bqxc->byxc", wy, d,
-                        preferred_element_type=jnp.float32,
+                    # fused tent weight [B,Q,H*W] -> ONE square matmul
+                    # (M=HW, K=Q) per (tap, group). 2.3x faster than the
+                    # wx*gq [B,Q,W,cg] intermediate + 32-row skinny
+                    # einsum it replaces; tap/group-merged variants
+                    # measured slower (scripts/profile_deform_bwd.py)
+                    wyx = (wy[:, :, :, None] * wx[:, :, None, :]).reshape(
+                        B, Q, H * W
                     )
+                    gx_g = jnp.einsum(
+                        "bqp,bqc->bpc", wyx, gq,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(B, H, W, cg)
                     gx = gx.at[:, :, :, g * cg : (g + 1) * cg].add(gx_g)
 
                     # offset grads: corner values via the forward gathers
