@@ -21,22 +21,31 @@ import time
 import numpy as np
 
 
-def main():
+def main(trunk: str = "r101"):
     import jax
     import jax.numpy as jnp
 
     from sniper_tpu.models.detector import SNIPERDetector
     from sniper_tpu.ops.boxes import bbox_pred, clip_boxes
 
+    # driver runs `python bench.py` -> flagship R101; --trunk covers the
+    # other model families (scripts/bench_variants invokes these)
+    trunk_kw = {
+        "r101": dict(units=(3, 4, 23, 3)),
+        "r50": dict(units=(3, 4, 6, 3)),
+        "mnv2": dict(trunk_type="mobilenetv2", head_fc_dim=512),
+        "x101": dict(trunk_type="resnext", units=(3, 4, 23, 3),
+                     num_trunk_groups=32),
+    }[trunk]
     model = SNIPERDetector(
         num_classes=81,
         num_anchors=21,
         anchor_scales=(2, 4, 7, 10, 13, 16, 24),
         anchor_ratios=(0.5, 1, 2),
-        units=(3, 4, 23, 3),
         dtype=jnp.bfloat16,
         pre_nms_top_n=6000,
         post_nms_top_n=300,
+        **trunk_kw,
     )
 
     im_w, im_h = 640, 480
@@ -179,7 +188,7 @@ def main():
         "pipeline_mfu": mfu,
     }), file=sys.stderr)
     print(json.dumps({
-        "metric": "multiscale_inference_throughput_r101",
+        "metric": f"multiscale_inference_throughput_{trunk}",
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / 5.0, 3),
@@ -187,4 +196,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    main(_sys.argv[1].lstrip("-").replace("trunk=", "")
+         if len(_sys.argv) > 1 else "r101")

@@ -71,8 +71,11 @@ def main():
     # like the reference demo's load_param (demo.py:77-90)
     variables = restore_inference_variables(cfg, model, config_name(args.cfg))
 
+    from sniper_tpu.infer.tester import device_normalize
+
     @jax.jit
     def fwd(variables, data, im_info):
+        data = device_normalize(data, im_info, cfg.network.PIXEL_MEANS)
         return model.apply(variables, data, im_info, train=False)
 
     tester = Tester(lambda d, i: fwd(variables, d, i), cfg,

@@ -45,16 +45,24 @@ def build_test_dataset(cfg):
     raise KeyError(f"unknown dataset {name!r}")
 
 
-def make_forward(model, variables, num_devices: int = 1):
+def make_forward(model, variables, num_devices: int = 1, pixel_means=None):
     """Jitted test-mode forward; ``num_devices > 1`` runs data-parallel
     inference over a 1-D device mesh — the batch splits along dim 0
     across chips with replicated params (XLA auto-partitions; the
     reference instead binds its test Module over a GPU list,
     inference.py:416-428). Per-scale TEST.BATCH_IMAGES must then be a
-    multiple of the device count."""
+    multiple of the device count.
+
+    Batches arrive as uint8 RGB canvases (TestChipIterator) and are
+    mean-subtracted on device (device_normalize) — 4x fewer
+    host->device bytes than shipping fp32."""
+    from sniper_tpu.infer.tester import device_normalize
+
+    means = pixel_means if pixel_means is not None else (0.0, 0.0, 0.0)
 
     @jax.jit
     def fn(variables, data, im_info):
+        data = device_normalize(data, im_info, means)
         return model.apply(variables, data, im_info, train=False)
 
     if num_devices <= 1:
@@ -92,7 +100,8 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
     from sniper_tpu.infer.tester import Tester
 
     init_inference_crops(roidb)
-    forward = make_forward(model, variables, _test_num_devices(cfg))
+    forward = make_forward(model, variables, _test_num_devices(cfg),
+                           pixel_means=cfg.network.PIXEL_MEANS)
     tester = Tester(forward, cfg, dataset.num_classes)
     with_masks = bool(getattr(model, "with_mask", False))
 
@@ -164,7 +173,8 @@ def run_proposal_extraction(cfg, model, variables, roidb, dataset, out_dir):
     from sniper_tpu.infer.tester import Tester
 
     init_inference_crops(roidb)
-    forward = make_forward(model, variables, _test_num_devices(cfg))
+    forward = make_forward(model, variables, _test_num_devices(cfg),
+                           pixel_means=cfg.network.PIXEL_MEANS)
     tester = Tester(forward, cfg, dataset.num_classes)
     agg_boxes = None
     for s in range(len(cfg.TEST.SCALES)):

@@ -57,10 +57,15 @@ def load_image_cv2(path):
 
 
 def process_chip_image(im_bgr, chip_box, im_scale, chip_size, pixel_means,
-                       flipped=False):
+                       flipped=False, as_uint8=False):
     """Crop->resize->RGB->mean-subtract->pad, reference im_worker.worker
     semantics (data_workers.py:80-121). Returns [chip, chip, 3] float32
-    (NHWC, RGB) — the reference emits CHW; layout is the only change."""
+    (NHWC, RGB) — the reference emits CHW; layout is the only change.
+
+    ``as_uint8=True`` skips the mean subtraction and returns uint8 RGB
+    (4x fewer host->device bytes per train step); the train step then
+    normalizes on device with infer.tester.device_normalize, which is
+    bit-exact to this fp32 path (im_info carries the content extent)."""
     import cv2
 
     im = im_bgr[:, ::-1, :] if flipped else im_bgr
@@ -68,9 +73,13 @@ def process_chip_image(im_bgr, chip_box, im_scale, chip_size, pixel_means,
     im = im[max(y1, 0) : y2, max(x1, 0) : x2, :]
     im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
                     interpolation=cv2.INTER_LINEAR)
-    out = np.zeros((chip_size, chip_size, 3), dtype=np.float32)
     h = min(im.shape[0], chip_size)
     w = min(im.shape[1], chip_size)
+    if as_uint8:
+        out = np.zeros((chip_size, chip_size, 3), dtype=np.uint8)
+        out[:h, :w] = im[:h, :w, ::-1]
+        return out
+    out = np.zeros((chip_size, chip_size, 3), dtype=np.float32)
     # BGR -> RGB with per-channel mean subtraction, one fused op
     means = np.asarray(pixel_means, np.float32)[::-1]
     np.subtract(im[:h, :w, ::-1], means, out=out[:h, :w], casting="unsafe")
@@ -78,10 +87,18 @@ def process_chip_image(im_bgr, chip_box, im_scale, chip_size, pixel_means,
 
 
 def process_chip_image_rect(im_bgr, chip_box, im_scale, canvas_hw,
-                            pixel_means, flipped=False):
+                            pixel_means, flipped=False, as_uint8=False):
     """Test-time variant: crop->resize->RGB->mean-subtract->pad into a
     rectangular [H,W] canvas. Returns (img [H,W,3], out_h, out_w) where
-    out_h/out_w are the content dims (the im_info extent)."""
+    out_h/out_w are the content dims (the im_info extent).
+
+    ``as_uint8=True`` skips the mean subtraction and returns the RGB
+    canvas as uint8 — 4x fewer host->device bytes (the dominant cost of
+    real-data inference on PCIe and pathological through this box's
+    HTTP relay). The device side then applies
+    infer.tester.device_normalize inside the jitted forward, which
+    reproduces the fp32 path bit-exactly (mean-subtract on the content
+    extent, exact zeros on the padding)."""
     import cv2
 
     im = im_bgr[:, ::-1, :] if flipped else im_bgr
@@ -93,9 +110,13 @@ def process_chip_image_rect(im_bgr, chip_box, im_scale, canvas_hw,
     im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
                     interpolation=cv2.INTER_LINEAR)
     h, w = canvas_hw
-    out = np.zeros((h, w, 3), dtype=np.float32)
     d1 = min(im.shape[0], h)
     d2 = min(im.shape[1], w)
+    if as_uint8:
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        out[:d1, :d2] = im[:d1, :d2, ::-1]
+        return out, d1, d2
+    out = np.zeros((h, w, 3), dtype=np.float32)
     means = np.asarray(pixel_means, np.float32)[::-1]
     np.subtract(im[:d1, :d2, ::-1], means, out=out[:d1, :d2],
                 casting="unsafe")

@@ -6,10 +6,17 @@ MNIteratorTestAutoFocus.py:19-139) under XLA's static-shape rules:
 
 - the reference pads to per-orientation canvases and, for AutoFocus
   chips, to per-batch dynamic maxima — a recompilation storm under jit.
-  Here every scale has exactly TWO static canvases (landscape /
-  portrait), rounded up to multiples of 64; batches are grouped by
-  orientation, so the whole multi-scale run compiles at most
-  2 * n_scales programs.
+  Here every scale has a BOUNDED ladder of static canvases: two
+  orientations (landscape / portrait) x three size tiers (1, 1/2, 1/4
+  of each canvas dim, rounded up to multiples of 64). Full-image
+  iteration always lands in tier 1 — identical programs to a plain
+  two-canvas design — while AutoFocus FocusChips bin to the smallest
+  tier that holds them, so a small chip costs a quarter/sixteenth-area
+  program instead of the full canvas (the TPU analog of the
+  reference's dynamic per-batch padding). Only tiers that actually
+  occur compile; batches group by (orientation, tier) and are emitted
+  in ascending canvas area (required by this TPU worker's
+  compile-order discipline).
 - iterates (image, chip) pairs from roidb['inference_crops'] (chips
   sorted by area then grouped, like the reference, so similarly-sized
   chips batch together), crops + resizes via the shared chip image
@@ -57,6 +64,24 @@ def canvas_for_scale(spec, round_to=64):
     return (r(short), r(lng)), (r(lng), r(short))
 
 
+# canvas size tiers (fractions of each full-canvas dim). Chips bin to
+# the smallest tier that holds them; full images always hit tier 1.0.
+CANVAS_TIERS = (0.25, 0.5, 1.0)
+
+
+def tier_canvases(full_hw, round_to=64):
+    """Ascending list of static canvases for one orientation."""
+    def r(v):
+        return max(round_to, (int(v) + round_to - 1) // round_to * round_to)
+
+    out = []
+    for f in CANVAS_TIERS:
+        hw = (r(full_hw[0] * f), r(full_hw[1] * f))
+        if hw not in out:
+            out.append(hw)
+    return out
+
+
 class TestChipIterator:
     """Yields batch dicts over all (image, chip) pairs at one scale."""
 
@@ -73,42 +98,66 @@ class TestChipIterator:
             else cfg.network.PIXEL_MEANS
         )
         self.land_hw, self.port_hw = canvas_for_scale(self.spec)
+        land_tiers = tier_canvases(self.land_hw)
+        port_tiers = tier_canvases(self.port_hw)
 
-        # enumerate (im_id, chip_id, area, landscape?) and sort by area
-        items = []
+        # enumerate (im_id, chip_id, area) and bin each chip into the
+        # smallest (orientation, tier) canvas that holds it; groups are
+        # emitted in ascending canvas area, largest chips first within
+        def smallest_tier(tiers, h, w):
+            for k, (th, tw) in enumerate(tiers):
+                if h <= th and w <= tw:
+                    return k
+            return len(tiers) - 1  # oversize clamps like before
+
+        groups = {}  # (is_land, tier_idx) -> [(i, j, area), ...]
         for i, r in enumerate(roidb):
             s = scale_for_image(r["width"], r["height"], self.spec)
             for j, c in enumerate(r.get("inference_crops", [])):
-                w = (c[2] - c[0]) * s
-                h = (c[3] - c[1]) * s
-                items.append((i, j, w * h, w >= h))
-        items.sort(key=lambda t: -t[2])
-        self.land = [t for t in items if t[3]]
-        self.port = [t for t in items if not t[3]]
+                w = float(np.ceil((c[2] - c[0]) * s))
+                h = float(np.ceil((c[3] - c[1]) * s))
+                land = w >= h
+                tiers = land_tiers if land else port_tiers
+                k = smallest_tier(tiers, h, w)
+                groups.setdefault((land, k), []).append((i, j, w * h))
+        for g in groups.values():
+            g.sort(key=lambda t: -t[2])
+        # [(canvas_hw, items)] ascending canvas area
+        self.groups = sorted(
+            (
+                ((land_tiers if land else port_tiers)[k], items)
+                for (land, k), items in groups.items()
+            ),
+            key=lambda t: t[0][0] * t[0][1],
+        )
 
     def __len__(self):
         bs = self.batch_size
-        return (len(self.land) + bs - 1) // bs + (len(self.port) + bs - 1) // bs
+        return sum(
+            (len(items) + bs - 1) // bs for _, items in self.groups
+        )
 
     def _emit(self, group, hw):
         bs = self.batch_size
         for start in range(0, len(group), bs):
             chunk = group[start : start + bs]
             n = len(chunk)
-            data = np.zeros((bs, hw[0], hw[1], 3), np.float32)
+            # uint8 canvases: 4x fewer host->device bytes; the forward
+            # wrapper normalizes on device (infer.tester.device_normalize)
+            data = np.zeros((bs, hw[0], hw[1], 3), np.uint8)
             im_info = np.zeros((bs, 3), np.float32)
             im_scales = np.ones(bs, np.float32)
             im_ids = np.zeros(bs, int)
             chip_ids = np.zeros(bs, int)
             valid = np.zeros(bs, bool)
-            for k, (i, j, _, _) in enumerate(chunk):
+            for k, (i, j, _) in enumerate(chunk):
                 r = self.roidb[i]
                 chip = r["inference_crops"][j]
                 s = scale_for_image(r["width"], r["height"], self.spec)
                 im = self.image_loader(r["image"])
                 img, out_h, out_w = process_chip_image_rect(
                     im, chip, s, hw, self.pixel_means,
-                    flipped=r.get("flipped", False),
+                    flipped=r.get("flipped", False), as_uint8=True,
                 )
                 data[k] = img
                 im_info[k] = [out_h, out_w, s]
@@ -124,5 +173,5 @@ class TestChipIterator:
             }
 
     def __iter__(self):
-        yield from self._emit(self.land, self.land_hw)
-        yield from self._emit(self.port, self.port_hw)
+        for hw, items in self.groups:
+            yield from self._emit(items, hw)

@@ -61,6 +61,30 @@ def unpack_detections(arr, num_classes):
     }
 
 
+def device_normalize(data, im_info, pixel_means):
+    """uint8 RGB canvases -> mean-subtracted fp32, on device.
+
+    The host pipeline ships uint8 (4x fewer transfer bytes — see
+    process_chip_image_rect); this reproduces the fp32 host path
+    BIT-EXACTLY inside the jitted forward: pixel_means (BGR order, the
+    config convention) are subtracted over each sample's content extent
+    (im_info h/w) and the padding is forced to exact zeros. fp32 input
+    passes through untouched, so planted-array tests and pre-staged
+    benches keep working.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if data.dtype != jnp.uint8:
+        return data
+    means = jnp.asarray(np.asarray(pixel_means, np.float32)[::-1])
+    x = data.astype(jnp.float32) - means
+    hh = jax.lax.broadcasted_iota(jnp.float32, x.shape[:3], 1)
+    ww = jax.lax.broadcasted_iota(jnp.float32, x.shape[:3], 2)
+    mask = (hh < im_info[:, None, None, 0]) & (ww < im_info[:, None, None, 1])
+    return jnp.where(mask[..., None], x, 0.0)
+
+
 def check_valid(det, chip, im_width, im_height, delta=10.0):
     """Drop detections touching an interior chip border (AutoFocus)."""
     dx1, dy1, dx2, dy2 = det[0], det[1], det[2], det[3]

@@ -83,3 +83,48 @@ def test_iterator_focus_chips(rng):
             first["im_info"][k][0] * first["im_info"][k][1]
         )
     assert areas == sorted(areas, reverse=True)
+
+
+def test_focus_chips_tiered_canvases(rng):
+    """Small FocusChips bin to fractional static canvases (1/4, 1/2),
+    full images stay on the tier-1 canvas, and batches are emitted in
+    ascending canvas area (TPU compile-order discipline)."""
+    from sniper_tpu.data.test_loader import tier_canvases
+
+    cfg = make_cfg()
+    roidb = [
+        {"image": "a:480x640", "width": 640, "height": 480, "flipped": False},
+    ]
+    # full image + a half-ish chip + a tiny chip at scale (800, 1280)
+    roidb[0]["inference_crops"] = np.array(
+        [[0.0, 0, 640, 480], [0, 0, 320, 240], [0, 0, 64, 64]]
+    )
+    it = TestChipIterator(roidb, cfg, 1, batch_size=1,
+                          image_loader=synth_image_loader)
+    batches = list(iter(it))
+    assert len(batches) == 3
+    shapes = [b["data"].shape[1:3] for b in batches]
+    tiers = tier_canvases((832, 1280))
+    assert tiers == [(256, 320), (448, 640), (832, 1280)]
+    assert shapes == tiers  # ascending area, one chip per tier
+    areas = [h * w for h, w in shapes]
+    assert areas == sorted(areas)
+    # content fits its canvas
+    for b in batches:
+        assert b["im_info"][0][0] <= b["data"].shape[1]
+        assert b["im_info"][0][1] <= b["data"].shape[2]
+
+
+def test_full_image_iteration_unchanged_by_tiers(rng):
+    """Plain multi-scale (full-image crops) must produce exactly the
+    old two-canvas programs — tiering is a no-op there."""
+    cfg = make_cfg()
+    roidb = [
+        {"image": "a:480x640", "width": 640, "height": 480, "flipped": False},
+        {"image": "b:600x400", "width": 400, "height": 600, "flipped": False},
+    ]
+    init_inference_crops(roidb)
+    it = TestChipIterator(roidb, cfg, 0, batch_size=1,
+                          image_loader=synth_image_loader)
+    shapes = sorted({b["data"].shape[1:3] for b in iter(it)})
+    assert shapes == [(1408, 2048), (2048, 1408)]
