@@ -176,6 +176,7 @@ def main():
         rpn_only=cfg.TRAIN.ONLY_PROPOSAL,
         ohem_rois=(int(cfg.TRAIN.BATCH_ROIS_OHEM)
                    if cfg.TRAIN.ENABLE_OHEM else 0),
+        pixel_means=cfg.network.PIXEL_MEANS,
     )
 
     if cfg.TRAIN.begin_epoch > 0:

@@ -1,0 +1,113 @@
+"""A/B the train step INCLUDING host->device batch transfer: fp32 vs
+uint8 data canvases (ChipLoader's two modes), on the real TPU.
+
+scripts/bench_train.py pre-stages the batch on device, so its step time
+excludes the per-step transfer a real training run pays. This drives
+the same flagship step with a FRESH host batch shipped every iteration
+(shard_batch -> device_put), comparing the fp32 pipeline (50.3 MB/step
+data at batch 16) against the uint8 pipeline (12.6 MB + on-device
+normalization). Same process, scalar-forced timing (relay discipline).
+
+  python scripts/profile_transfer.py [--batch 16]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--chip", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sniper_tpu.config import default_config
+    from sniper_tpu.models.detector import SNIPERDetector
+    from sniper_tpu.parallel.mesh import make_mesh, shard_batch
+    from sniper_tpu.train.optimizer import make_optimizer
+    from sniper_tpu.train.trainer import create_train_state, make_train_step
+
+    b, chip = args.batch, args.chip
+    A = 21
+    fh = fw = chip // 16
+    rng = np.random.RandomState(0)
+    gt = np.full((b, 100, 5), -1.0, np.float32)
+    gt[:, 0] = [40, 40, 200, 200, 2]
+    gt[:, 1] = [250, 250, 400, 420, 7]
+
+    def host_batch(uint8):
+        base = {
+            "im_info": np.tile([[chip, chip, 1.0]], (b, 1)).astype(np.float32),
+            "gt_boxes": gt,
+            "valid_ranges": np.tile([[0.0, float(chip)]], (b, 1)).astype(
+                np.float32),
+            "label": rng.choice([-1.0, 0.0, 1.0], (b, A * fh * fw),
+                                p=[0.9, 0.08, 0.02]).astype(np.float32),
+            "bbox_target": (rng.randn(b, 4 * A, fh, fw) * 0.1).astype(
+                np.float32),
+            "bbox_weight": np.zeros((b, 4 * A, fh, fw), np.float32),
+        }
+        if uint8:
+            base["data"] = rng.randint(0, 255, (b, chip, chip, 3)).astype(
+                np.uint8)
+            base["data_extent"] = np.tile([[chip, chip]], (b, 1)).astype(
+                np.float32)
+        else:
+            base["data"] = rng.randn(b, chip, chip, 3).astype(np.float32)
+        return base
+
+    cfg = default_config()
+    cfg.TRAIN.lr = 0.015
+    cfg.TRAIN.warmup = False
+    cfg.TRAIN.lr_step = ""
+    cfg.network.FIXED_PARAMS = ["conv0", "bn0", "stage1", "bn_data"]
+    model = SNIPERDetector(
+        num_classes=81, num_anchors=A,
+        anchor_scales=(2, 4, 7, 10, 13, 16, 24), anchor_ratios=(0.5, 1, 2),
+        units=(3, 4, 23, 3), dtype=jnp.bfloat16,
+        train_pre_nms=6000, train_post_nms=300, num_rois=300,
+    )
+    mesh = make_mesh(1)
+    state = create_train_state(model, cfg, host_batch(False), optax.sgd(0.1))
+    tx, _ = make_optimizer(cfg, epoch_size=1000, params=state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = make_train_step(model, tx, mesh, batch_images_per_device=b,
+                           pixel_means=(103.939, 116.779, 123.68))
+
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for name, uint8 in (("fp32", False), ("uint8", True)):
+        # compile for this input signature
+        state, metrics = step(state, shard_batch(mesh, host_batch(uint8)),
+                              key)
+        print(f"{name} warmup loss={float(metrics['loss']):.3f}",
+              file=sys.stderr, flush=True)
+        n = 6
+        best = 1e9
+        for rep in range(3):
+            batches = [host_batch(uint8) for _ in range(n)]
+            t0 = time.perf_counter()
+            for hb in batches:
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, shard_batch(mesh, hb), sub)
+            float(metrics["loss"])
+            best = min(best, (time.perf_counter() - t0) / n)
+        results[name] = round(best * 1e3, 1)
+    results["speedup"] = round(results["fp32"] / results["uint8"], 3)
+    print(json.dumps({"metric": "train_step_with_transfer_ms",
+                      "batch": b, **results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,10 +62,12 @@ def process_chip_image(im_bgr, chip_box, im_scale, chip_size, pixel_means,
     semantics (data_workers.py:80-121). Returns [chip, chip, 3] float32
     (NHWC, RGB) — the reference emits CHW; layout is the only change.
 
-    ``as_uint8=True`` skips the mean subtraction and returns uint8 RGB
-    (4x fewer host->device bytes per train step); the train step then
+    ``as_uint8=True`` skips the mean subtraction and returns
+    ``(uint8 RGB, h, w)`` where h/w are the ACTUAL content dims (cv2's
+    resize rounding can differ from the chip's nominal out_h/out_w) —
+    4x fewer host->device bytes per train step; the train step then
     normalizes on device with infer.tester.device_normalize, which is
-    bit-exact to this fp32 path (im_info carries the content extent)."""
+    bit-exact to this fp32 path given that extent."""
     import cv2
 
     im = im_bgr[:, ::-1, :] if flipped else im_bgr
@@ -78,7 +80,7 @@ def process_chip_image(im_bgr, chip_box, im_scale, chip_size, pixel_means,
     if as_uint8:
         out = np.zeros((chip_size, chip_size, 3), dtype=np.uint8)
         out[:h, :w] = im[:h, :w, ::-1]
-        return out
+        return out, h, w
     out = np.zeros((chip_size, chip_size, 3), dtype=np.float32)
     # BGR -> RGB with per-channel mean subtraction, one fused op
     means = np.asarray(pixel_means, np.float32)[::-1]
@@ -127,11 +129,14 @@ class ChipLoader:
     """Epoch-based chip batch iterator."""
 
     def __init__(self, roidb, cfg, batch_size, image_loader=load_image_cv2,
-                 seed=0):
+                 seed=0, uint8_data=True):
         self.roidb = roidb
         self.cfg = cfg
         self.batch_size = batch_size
         self.image_loader = image_loader
+        # uint8 canvases + on-device normalization (4x fewer
+        # host->device bytes); False restores the fp32 host path
+        self.uint8_data = uint8_data
         self.rng = np.random.RandomState(seed)
         self.chip_size = cfg.TRAIN.CHIP_SIZE
         self.n_neg_per_im = 2
@@ -232,10 +237,19 @@ class ChipLoader:
         chip = r["crops"][crop_id]
 
         im = self.image_loader(r["image"])
-        data = process_chip_image(
-            im, chip.box, chip.im_scale, self.chip_size,
-            cfg.network.PIXEL_MEANS, flipped=r.get("flipped", False),
-        )
+        extent = None
+        if self.uint8_data:
+            data, eh, ew = process_chip_image(
+                im, chip.box, chip.im_scale, self.chip_size,
+                cfg.network.PIXEL_MEANS, flipped=r.get("flipped", False),
+                as_uint8=True,
+            )
+            extent = np.array([eh, ew], np.float32)
+        else:
+            data = process_chip_image(
+                im, chip.box, chip.im_scale, self.chip_size,
+                cfg.network.PIXEL_MEANS, flipped=r.get("flipped", False),
+            )
 
         gtids = np.where(r["max_overlaps"] == 1)[0]
         tgt = self.assigner(
@@ -259,6 +273,7 @@ class ChipLoader:
         sample = {
             "data": data,
             "im_info": im_info,
+            **({"data_extent": extent} if extent is not None else {}),
             "valid_ranges": valid_range,
             "label": tgt.labels,
             "bbox_target": tgt.bbox_targets,

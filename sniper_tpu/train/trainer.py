@@ -43,9 +43,14 @@ def create_train_state(model, cfg, sample_batch, tx, seed: int = 0):
         "params": jax.random.PRNGKey(seed),
         "sampling": jax.random.PRNGKey(seed + 1),
     }
+    data = sample_batch["data"]
+    if data.dtype == jnp.uint8:
+        # init only needs shapes/dtypes — a plain cast stands in for the
+        # on-device normalization the real step applies
+        data = data.astype(jnp.float32)
     variables = model.init(
         rngs,
-        sample_batch["data"],
+        data,
         sample_batch["im_info"],
         sample_batch["gt_boxes"],
         sample_batch["valid_ranges"],
@@ -64,21 +69,31 @@ def create_train_state(model, cfg, sample_batch, tx, seed: int = 0):
 def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
                     rpn_batch_size: int = 256, with_autofocus: bool = False,
                     with_mask: bool = False, rpn_only: bool = False,
-                    ohem_rois: int = 0, axis: str = "data"):
+                    ohem_rois: int = 0, axis: str = "data",
+                    pixel_means=(0.0, 0.0, 0.0)):
     """Build the jitted data-parallel train step.
 
     Returns step(state, batch, key) -> (state, metrics). ``batch``
     arrays are sharded along dim 0 (see shard_batch); loss
     normalizations use the GLOBAL batch size (equivalent to the
     reference's per-GPU loss + kvstore averaging).
+
+    uint8 batches (ChipLoader's default — 4x fewer host->device bytes)
+    are mean-subtracted on device over each chip's ``data_extent``
+    content dims; fp32 batches pass through untouched.
     """
+    from sniper_tpu.infer.tester import device_normalize
+
     n_dev = mesh.devices.size
     batch_images_global = batch_images_per_device * n_dev
 
     def loss_fn(params, batch_stats, batch, key):
+        data = batch["data"]
+        if data.dtype == jnp.uint8:
+            data = device_normalize(data, batch["data_extent"], pixel_means)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["data"], batch["im_info"], batch["gt_boxes"],
+            data, batch["im_info"], batch["gt_boxes"],
             batch["valid_ranges"], gt_masks=batch.get("gt_masks"),
             train=True, rngs={"sampling": key}, mutable=["batch_stats"],
         )

@@ -127,6 +127,39 @@ def test_process_chip_image_upscale():
     assert (out[:270, :270] == 0).all()
 
 
+def test_uint8_pipeline_bit_exact(rng):
+    """The default uint8 loader output, normalized on device via
+    device_normalize over data_extent, must equal the fp32 host path
+    BIT-EXACTLY (same mean subtraction, exact-zero padding)."""
+    import jax.numpy as jnp
+
+    from sniper_tpu.infer.tester import device_normalize
+
+    cfg = make_cfg()
+    roidb = make_roidb(rng)
+    lu = ChipLoader(roidb, cfg, batch_size=2,
+                    image_loader=synth_image_loader, seed=7)
+    lf = ChipLoader(roidb, cfg, batch_size=2,
+                    image_loader=synth_image_loader, seed=7,
+                    uint8_data=False)
+    lu.reset()
+    lf.reset()
+    bu = next(iter(lu))
+    bf = next(iter(lf))
+    assert bu["data"].dtype == np.uint8
+    assert bf["data"].dtype == np.float32
+    assert "data_extent" in bu and "data_extent" not in bf
+    norm = device_normalize(
+        jnp.asarray(bu["data"]), jnp.asarray(bu["data_extent"]),
+        cfg.network.PIXEL_MEANS,
+    )
+    assert np.array_equal(np.asarray(norm), bf["data"])
+    # every other key identical (same seed -> same schedule/rng)
+    for k in bf:
+        if k != "data":
+            assert np.array_equal(bu[k], bf[k]), k
+
+
 def test_prefetcher_order(rng):
     items = [{"x": np.array([i])} for i in range(7)]
     got = list(Prefetcher(items))

@@ -112,6 +112,25 @@ def test_train_step_two_steps_loss_finite(setup):
     assert int(s.step) == 2
 
 
+def test_train_step_uint8_batch_matches_fp32(setup):
+    """A uint8 batch + data_extent through the step must give exactly
+    the fp32 loss (device_normalize with zero means / full extent is a
+    pure cast; masking bit-exactness is covered in test_loader)."""
+    mesh, model, fresh_state, step, batch, cfg = setup
+    b = batch["data"].shape[0]
+    u8 = dict(batch)
+    u8["data"] = np.random.RandomState(3).randint(
+        0, 255, batch["data"].shape
+    ).astype(np.uint8)
+    u8["data_extent"] = np.tile([[H, W]], (b, 1)).astype(np.float32)
+    f32 = dict(batch)
+    f32["data"] = u8["data"].astype(np.float32)
+
+    _, m_u8 = step(fresh_state(), shard_batch(mesh, u8), jax.random.PRNGKey(5))
+    _, m_f32 = step(fresh_state(), shard_batch(mesh, f32), jax.random.PRNGKey(5))
+    assert float(m_u8["loss"]) == float(m_f32["loss"])
+
+
 def test_fixed_param_mask_prefixes():
     params = {
         "trunk": {
