@@ -46,18 +46,29 @@ def main():
     gt[:, 0] = [40, 40, 200, 200, 2]
     gt[:, 1] = [250, 250, 400, 420, 7]
 
-    def host_batch(uint8):
+    def host_batch(uint8, sparse=False):
         base = {
             "im_info": np.tile([[chip, chip, 1.0]], (b, 1)).astype(np.float32),
             "gt_boxes": gt,
             "valid_ranges": np.tile([[0.0, float(chip)]], (b, 1)).astype(
                 np.float32),
-            "label": rng.choice([-1.0, 0.0, 1.0], (b, A * fh * fw),
-                                p=[0.9, 0.08, 0.02]).astype(np.float32),
-            "bbox_target": (rng.randn(b, 4 * A, fh, fw) * 0.1).astype(
-                np.float32),
-            "bbox_weight": np.zeros((b, 4 * A, fh, fw), np.float32),
         }
+        if sparse:
+            pids = np.sort(rng.choice(A * fh * fw, (b, 256), replace=False
+                                      if A * fh * fw >= 256 else True), axis=1)
+            base["rpn_pids"] = pids.astype(np.int32)
+            base["rpn_label_vals"] = rng.choice(
+                [0.0, 1.0], (b, 256), p=[0.6, 0.4]).astype(np.float32)
+            base["fg_pids"] = pids[:, :128].astype(np.int32)
+            base["fg_targets"] = (rng.randn(b, 128, 4) * 0.1).astype(
+                np.float32)
+        else:
+            base["label"] = rng.choice(
+                [-1.0, 0.0, 1.0], (b, A * fh * fw),
+                p=[0.9, 0.08, 0.02]).astype(np.float32)
+            base["bbox_target"] = (rng.randn(b, 4 * A, fh, fw) * 0.1).astype(
+                np.float32)
+            base["bbox_weight"] = np.zeros((b, 4 * A, fh, fw), np.float32)
         if uint8:
             base["data"] = rng.randint(0, 255, (b, chip, chip, 3)).astype(
                 np.uint8)
@@ -87,16 +98,21 @@ def main():
 
     key = jax.random.PRNGKey(0)
     results = {}
-    for name, uint8 in (("fp32", False), ("uint8", True)):
+    for name, uint8, sparse in (
+        ("fp32", False, False),
+        ("uint8", True, False),
+        ("uint8_sparse", True, True),
+    ):
         # compile for this input signature
-        state, metrics = step(state, shard_batch(mesh, host_batch(uint8)),
-                              key)
+        state, metrics = step(
+            state, shard_batch(mesh, host_batch(uint8, sparse)), key
+        )
         print(f"{name} warmup loss={float(metrics['loss']):.3f}",
               file=sys.stderr, flush=True)
         n = 6
         best = 1e9
         for rep in range(3):
-            batches = [host_batch(uint8) for _ in range(n)]
+            batches = [host_batch(uint8, sparse) for _ in range(n)]
             t0 = time.perf_counter()
             for hb in batches:
                 key, sub = jax.random.split(key)
@@ -104,7 +120,7 @@ def main():
             float(metrics["loss"])
             best = min(best, (time.perf_counter() - t0) / n)
         results[name] = round(best * 1e3, 1)
-    results["speedup"] = round(results["fp32"] / results["uint8"], 3)
+    results["speedup"] = round(results["fp32"] / results["uint8_sparse"], 3)
     print(json.dumps({"metric": "train_step_with_transfer_ms",
                       "batch": b, **results}))
 

@@ -45,6 +45,12 @@ class AnchorTargets(NamedTuple):
     focus_label: np.ndarray | None  # [H*W] float32 in {-1, 0, 1} or None
     gt_keep: np.ndarray       # indices into gtids of the kept gt rows
                               # (aligns gt_boxes rows with per-gt extras)
+    # sparse form (assigner sparse=True; dense fields above are None):
+    # indices are (A,H,W)-flat — the dense `labels` order — padded -1
+    rpn_pids: np.ndarray | None = None        # [rpn_batch_size] int32
+    rpn_label_vals: np.ndarray | None = None  # [rpn_batch_size] float32
+    fg_pids: np.ndarray | None = None         # [num_fg] int32
+    fg_targets: np.ndarray | None = None      # [num_fg, 4] float32
 
 
 class AutoFocusParams(NamedTuple):
@@ -69,7 +75,12 @@ class AnchorTargetAssigner:
         min_gt_size: float = 10.0,
         max_n_gts: int = 100,
         autofocus: AutoFocusParams | None = None,
+        sparse: bool = False,
     ):
+        # sparse=True returns (pids, values) pairs instead of dense
+        # grids — ~1000x fewer host->device bytes; the loss gathers
+        # predictions at the pids (models/losses.py sparse branch)
+        self.sparse = sparse
         self.feat_stride = feat_stride
         self.feat_h = chip_size // feat_stride
         self.feat_w = chip_size // feat_stride
@@ -192,6 +203,35 @@ class AnchorTargetAssigner:
         if len(bg_inds) > num_bg:
             labels[rng.choice(bg_inds, len(bg_inds) - num_bg, replace=False)] = -1
 
+        fh, fw, A = self.feat_h, self.feat_w, self.num_anchors
+        fgt = np.full((self.max_n_gts, 5), -1.0, dtype=np.float32)
+        n = min(len(agt_boxes), self.max_n_gts)
+        if n > 0:
+            fgt[:n, :4] = agt_boxes[:n]
+            fgt[:n, 4] = cls[:n]
+
+        if self.sparse:
+            # (A,H,W)-flat pid for full-grid (h,w,a)-flat index g:
+            # j = a * (fh*fw) + (h*fw + w)
+            def to_awh(g):
+                return ((g % A) * (fh * fw) + g // A).astype(np.int32)
+
+            sampled = np.where(labels >= 0)[0]
+            pids = np.full(self.rpn_batch_size, -1, np.int32)
+            vals = np.full(self.rpn_batch_size, -1.0, np.float32)
+            pids[: len(sampled)] = to_awh(self.inside_idx[sampled])
+            vals[: len(sampled)] = labels[sampled]
+            fg = np.where(labels == 1)[0]
+            fpids = np.full(self.num_fg, -1, np.int32)
+            ftgts = np.zeros((self.num_fg, 4), np.float32)
+            fpids[: len(fg)] = to_awh(self.inside_idx[fg])
+            if len(fg) > 0 and gt_boxes.size > 0:
+                ftgts[: len(fg)] = bbox_transform(
+                    anchors[fg], gt_boxes[argmax_overlaps[fg]]
+                )
+            return AnchorTargets(None, None, None, fgt, focus, gt_keep,
+                                 pids, vals, fpids, ftgts)
+
         targets_in = np.zeros((n_in, 4), dtype=np.float64)
         if gt_boxes.size > 0:
             targets_in = bbox_transform(anchors, gt_boxes[argmax_overlaps])
@@ -206,18 +246,11 @@ class AnchorTargetAssigner:
         full_weights = np.zeros((self.total_anchors, 4), dtype=np.float32)
         full_weights[self.inside_idx] = weights_in
 
-        fh, fw, A = self.feat_h, self.feat_w, self.num_anchors
         out_labels = (
             full_labels.reshape(fh, fw, A).transpose(2, 0, 1).reshape(-1)
         )
         out_targets = full_targets.reshape(fh, fw, A * 4).transpose(2, 0, 1)
         out_weights = full_weights.reshape(fh, fw, A * 4).transpose(2, 0, 1)
-
-        fgt = np.full((self.max_n_gts, 5), -1.0, dtype=np.float32)
-        n = min(len(agt_boxes), self.max_n_gts)
-        if n > 0:
-            fgt[:n, :4] = agt_boxes[:n]
-            fgt[:n, 4] = cls[:n]
 
         return AnchorTargets(out_labels, out_targets, out_weights, fgt,
                              focus, gt_keep)

@@ -129,7 +129,7 @@ class ChipLoader:
     """Epoch-based chip batch iterator."""
 
     def __init__(self, roidb, cfg, batch_size, image_loader=load_image_cv2,
-                 seed=0, uint8_data=True):
+                 seed=0, uint8_data=True, sparse_targets=True):
         self.roidb = roidb
         self.cfg = cfg
         self.batch_size = batch_size
@@ -137,6 +137,10 @@ class ChipLoader:
         # uint8 canvases + on-device normalization (4x fewer
         # host->device bytes); False restores the fp32 host path
         self.uint8_data = uint8_data
+        # sparse RPN targets: ship (pid, value) pairs instead of dense
+        # [A*H*W] / [4A,H,W] grids (~150x fewer bytes); the loss gathers
+        # predictions at the pids. False restores dense grids.
+        self.sparse_targets = sparse_targets
         self.rng = np.random.RandomState(seed)
         self.chip_size = cfg.TRAIN.CHIP_SIZE
         self.n_neg_per_im = 2
@@ -158,6 +162,7 @@ class ChipLoader:
             neg_thresh=cfg.TRAIN.RPN_NEGATIVE_OVERLAP,
             max_n_gts=cfg.TRAIN.MAX_GT_BOXES,
             autofocus=af,
+            sparse=sparse_targets,
         )
         self.size = 0
         self.num_workers = int(getattr(cfg.TRAIN, "NUM_THREAD", 1) or 1)
@@ -275,11 +280,17 @@ class ChipLoader:
             "im_info": im_info,
             **({"data_extent": extent} if extent is not None else {}),
             "valid_ranges": valid_range,
-            "label": tgt.labels,
-            "bbox_target": tgt.bbox_targets,
-            "bbox_weight": tgt.bbox_weights,
             "gt_boxes": tgt.gt_boxes,
         }
+        if self.sparse_targets:
+            sample["rpn_pids"] = tgt.rpn_pids
+            sample["rpn_label_vals"] = tgt.rpn_label_vals
+            sample["fg_pids"] = tgt.fg_pids
+            sample["fg_targets"] = tgt.fg_targets
+        else:
+            sample["label"] = tgt.labels
+            sample["bbox_target"] = tgt.bbox_targets
+            sample["bbox_weight"] = tgt.bbox_weights
         if tgt.focus_label is not None:
             sample["scale_label"] = tgt.focus_label
         if cfg.TRAIN.WITH_MASK and "gt_masks" in r:

@@ -76,11 +76,13 @@ def rasterize_gt_masks(polys_per_gt, gt_boxes, grid=112, max_n_gts=100):
     """Rasterize each GT's polygons into a box-normalized [grid, grid]
     binary mask. polys_per_gt: list (per GT) of segment arrays in the
     same coordinate frame as gt_boxes [N,4]. Returns
-    [max_n_gts, grid, grid] float32 in {0, 1} (zeros for missing GTs).
+    [max_n_gts, grid, grid] uint8 in {0, 1} (zeros for missing GTs) —
+    uint8 keeps the host->device mask payload 4x smaller; the detector
+    casts to float at the crop-resize (ops/mask_target.py).
     """
     import cv2
 
-    out = np.zeros((max_n_gts, grid, grid), np.float32)
+    out = np.zeros((max_n_gts, grid, grid), np.uint8)
     for i, (segs, box) in enumerate(zip(polys_per_gt, gt_boxes)):
         if i >= max_n_gts or not segs:
             continue

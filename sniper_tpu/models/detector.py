@@ -214,6 +214,10 @@ class SNIPERDetector(nn.Module):
                     margin_bins=self.head_margin_bins, roi_chunk=b,
                 ).reshape(-1, 14, 14, C_m)
                 logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
+                # masks ship uint8 {0,1} (4x fewer host->device bytes);
+                # the bilinear crop-resize needs float
+                if jnp.issubdtype(gt_masks.dtype, jnp.integer):
+                    gt_masks = gt_masks.astype(jnp.float32)
                 targets, cls_ids = mask_targets_from_dense(
                     mask_rois, mask_gids, gt_boxes, gt_masks,
                     mask_size=self.mask_size,

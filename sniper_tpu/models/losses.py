@@ -50,6 +50,36 @@ def rpn_bbox_loss(rpn_bbox_pred, bbox_targets, bbox_weights, batch_images,
     return loss * 3.0 / float(batch_images * rpn_batch_size)
 
 
+def rpn_cls_loss_sparse(rpn_cls_logits, rpn_pids, rpn_label_vals):
+    """Sparse-target form: gather the sampled anchors' logits instead of
+    scoring the full grid. rpn_pids [B,S] (A,H,W)-flat indices padded
+    -1; rpn_label_vals [B,S] in {-1,0,1}. Same value as rpn_cls_loss on
+    the densified targets (the dense grid is -1 everywhere else)."""
+    b, h, w, _, a = rpn_cls_logits.shape
+    logits = rpn_cls_logits.transpose(0, 4, 1, 2, 3).reshape(b, a * h * w, 2)
+    idx = jnp.maximum(rpn_pids, 0)
+    picked = jnp.take_along_axis(logits, idx[..., None], axis=1)
+    labels = jnp.where(rpn_pids >= 0, rpn_label_vals, -1.0)
+    return softmax_ce_ignore(picked, labels.astype(jnp.int32))
+
+
+def rpn_bbox_loss_sparse(rpn_bbox_pred, fg_pids, fg_targets, batch_images,
+                         rpn_batch_size=256):
+    """Sparse form of rpn_bbox_loss: gather predictions at the fg
+    anchors. rpn_bbox_pred [B,4A,H,W] (channel = a*4+coord, the dense
+    target layout); fg_pids [B,F] (A,H,W)-flat padded -1; fg_targets
+    [B,F,4]."""
+    b, c4, h, w = rpn_bbox_pred.shape
+    a = c4 // 4
+    pred = rpn_bbox_pred.reshape(b, a, 4, h, w).transpose(0, 1, 3, 4, 2)
+    pred = pred.reshape(b, a * h * w, 4)
+    idx = jnp.maximum(fg_pids, 0)
+    picked = jnp.take_along_axis(pred, idx[..., None], axis=1)
+    per = smooth_l1((picked - fg_targets).astype(jnp.float32)).sum(-1)
+    loss = jnp.where(fg_pids >= 0, per, 0.0).sum()
+    return loss * 3.0 / float(batch_images * rpn_batch_size)
+
+
 def rcnn_cls_loss(cls_score, labels):
     """cls_score [B,R,C], labels [B,R] with -1 ignore."""
     return softmax_ce_ignore(cls_score, labels)
@@ -81,19 +111,31 @@ def total_loss(outputs, batch, batch_images, rpn_batch_size=256,
                ohem_rois=0):
     """Compose the training loss from detector outputs + loader batch.
 
-    batch needs: 'label' [B,A*H*W], 'bbox_target'/'bbox_weight'
-    [B,4A,H,W] (+ 'scale_label' [B,H*W] for AutoFocus).
+    batch needs either dense RPN targets ('label' [B,A*H*W],
+    'bbox_target'/'bbox_weight' [B,4A,H,W]) or ChipLoader's default
+    sparse form ('rpn_pids'/'rpn_label_vals' [B,S], 'fg_pids' [B,F],
+    'fg_targets' [B,F,4]) (+ 'scale_label' [B,H*W] for AutoFocus).
     ohem_rois > 0 enables Online Hard Example Mining over the sampled
     rois (TRAIN.ENABLE_OHEM + BATCH_ROIS_OHEM; reference
     box_annotator_ohem.py:27-78): only the top-k hardest rois per image
     keep their labels/bbox weights before the loss.
     Returns (loss, metrics dict).
     """
-    l_rpn_cls = rpn_cls_loss(outputs["rpn_cls_logits"], batch["label"])
-    l_rpn_bbox = rpn_bbox_loss(
-        outputs["rpn_bbox_pred"], batch["bbox_target"], batch["bbox_weight"],
-        batch_images, rpn_batch_size,
-    )
+    if "rpn_pids" in batch:
+        l_rpn_cls = rpn_cls_loss_sparse(
+            outputs["rpn_cls_logits"], batch["rpn_pids"],
+            batch["rpn_label_vals"],
+        )
+        l_rpn_bbox = rpn_bbox_loss_sparse(
+            outputs["rpn_bbox_pred"], batch["fg_pids"], batch["fg_targets"],
+            batch_images, rpn_batch_size,
+        )
+    else:
+        l_rpn_cls = rpn_cls_loss(outputs["rpn_cls_logits"], batch["label"])
+        l_rpn_bbox = rpn_bbox_loss(
+            outputs["rpn_bbox_pred"], batch["bbox_target"],
+            batch["bbox_weight"], batch_images, rpn_batch_size,
+        )
     if rpn_only:
         loss = l_rpn_cls + l_rpn_bbox
         return loss, {

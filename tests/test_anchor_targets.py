@@ -153,6 +153,39 @@ def test_matches_oracle(rng):
         np.testing.assert_allclose(got.gt_boxes, fgt, atol=1e-6)
 
 
+def test_sparse_matches_dense(rng):
+    """sparse=True emits (pid, value) pairs that densify to exactly the
+    dense outputs (same per-chip rng stream -> same sampling)."""
+    dense = make_assigner()
+    sparse = make_assigner(sparse=True)
+    fh, fw, A = dense.feat_h, dense.feat_w, dense.num_anchors
+    for trial in range(6):
+        case = make_chip_case(rng, n_gt=3 + trial * 2, n_valid=2 + trial)
+        d = dense(*case, rng=np.random.RandomState(7 + trial))
+        s = sparse(*case, rng=np.random.RandomState(7 + trial))
+        assert s.labels is None and s.bbox_targets is None
+        # labels
+        lab = np.full(A * fh * fw, -1.0, np.float32)
+        keep = s.rpn_pids >= 0
+        lab[s.rpn_pids[keep]] = s.rpn_label_vals[keep]
+        np.testing.assert_array_equal(lab, d.labels)
+        # bbox targets at fg anchors only (dense targets elsewhere are
+        # never read: weights are zero there)
+        kf = s.fg_pids >= 0
+        t = np.zeros((A * fh * fw, 4), np.float32)
+        w = np.zeros((A * fh * fw, 4), np.float32)
+        t[s.fg_pids[kf]] = s.fg_targets[kf]
+        w[s.fg_pids[kf]] = 1.0
+        # dense layout [4A, fh, fw] -> (A,H,W)-flat rows of 4
+        dt = d.bbox_targets.reshape(A, 4, fh, fw).transpose(0, 2, 3, 1)
+        dt = dt.reshape(-1, 4)
+        dw = d.bbox_weights.reshape(A, 4, fh, fw).transpose(0, 2, 3, 1)
+        dw = dw.reshape(-1, 4)
+        np.testing.assert_array_equal(w, dw)
+        np.testing.assert_allclose(t[w > 0], dt[dw > 0], atol=1e-6)
+        np.testing.assert_allclose(s.gt_boxes, d.gt_boxes, atol=1e-6)
+
+
 def test_scaled_chip(rng):
     asn = make_assigner()
     case = list(make_chip_case(rng))

@@ -63,11 +63,15 @@ def test_loader_epoch_and_batches(rng):
     assert b["data"].shape == (2, 512, 512, 3)
     assert b["im_info"].shape == (2, 3)
     assert b["valid_ranges"].shape == (2, 2)
-    assert b["label"].shape == (2, A * 32 * 32)
-    assert b["bbox_target"].shape == (2, 4 * A, 32, 32)
+    # default sparse RPN targets
+    assert b["rpn_pids"].shape == (2, 256)
+    assert b["rpn_label_vals"].shape == (2, 256)
+    assert b["fg_pids"].shape == (2, 128)
+    assert b["fg_targets"].shape == (2, 128, 4)
     assert b["gt_boxes"].shape == (2, 100, 5)
-    # labels are only {-1, 0, 1}
-    assert set(np.unique(b["label"])).issubset({-1.0, 0.0, 1.0})
+    # label values are only {-1, 0, 1}; pids in grid range
+    assert set(np.unique(b["rpn_label_vals"])).issubset({-1.0, 0.0, 1.0})
+    assert b["rpn_pids"].max() < A * 32 * 32
     # at least some gt boxes present somewhere in the epoch
     assert any((bb["gt_boxes"][:, :, 4] >= 0).any() for bb in batches)
 
@@ -158,6 +162,46 @@ def test_uint8_pipeline_bit_exact(rng):
     for k in bf:
         if k != "data":
             assert np.array_equal(bu[k], bf[k]), k
+
+
+def test_sparse_targets_loss_matches_dense(rng):
+    """The default sparse RPN targets give the same loss values as the
+    dense grids through the real loader (same seed -> same sampling)."""
+    import jax.numpy as jnp
+
+    from sniper_tpu.models.losses import (
+        rpn_bbox_loss,
+        rpn_bbox_loss_sparse,
+        rpn_cls_loss,
+        rpn_cls_loss_sparse,
+    )
+
+    cfg = make_cfg()
+    roidb = make_roidb(rng)
+    ls = ChipLoader(roidb, cfg, batch_size=2,
+                    image_loader=synth_image_loader, seed=3)
+    ld = ChipLoader(roidb, cfg, batch_size=2,
+                    image_loader=synth_image_loader, seed=3,
+                    sparse_targets=False)
+    ls.reset()
+    ld.reset()
+    bs = next(iter(ls))
+    bd = next(iter(ld))
+    assert "rpn_pids" in bs and "label" not in bs
+    assert bs["rpn_pids"].shape == (2, 256)
+    assert bs["fg_targets"].shape == (2, 128, 4)
+    B, A, fh, fw = 2, 9, 32, 32
+    logits = jnp.asarray(rng.randn(B, fh, fw, 2, A).astype(np.float32))
+    pred = jnp.asarray(rng.randn(B, 4 * A, fh, fw).astype(np.float32))
+    cs = rpn_cls_loss_sparse(logits, jnp.asarray(bs["rpn_pids"]),
+                             jnp.asarray(bs["rpn_label_vals"]))
+    cd = rpn_cls_loss(logits, jnp.asarray(bd["label"]))
+    np.testing.assert_allclose(float(cs), float(cd), rtol=1e-5)
+    vs = rpn_bbox_loss_sparse(pred, jnp.asarray(bs["fg_pids"]),
+                              jnp.asarray(bs["fg_targets"]), B)
+    vd = rpn_bbox_loss(pred, jnp.asarray(bd["bbox_target"]),
+                       jnp.asarray(bd["bbox_weight"]), B)
+    np.testing.assert_allclose(float(vs), float(vd), rtol=1e-5)
 
 
 def test_prefetcher_order(rng):
