@@ -71,6 +71,15 @@ def soft_nms_np(
     to match the Cython float locals. ``return_indices`` also returns
     each surviving row's ORIGINAL index (for carrying per-detection
     payloads like instance masks through the rescoring).
+
+    The reference kernel is a scalar double loop; here the inner
+    decay pass is VECTORIZED, which is exact: at each step i every
+    remaining box is decayed exactly once (independently of the others
+    and of the tail-swap order — swapped-in tail rows are re-examined
+    by the reference's ``pos -= 1``), so computing all decays in one
+    fp32 vector op gives bit-identical scores. The threshold drop's
+    tail-swap dance is then replayed on the decayed rows to keep the
+    exact array order (argmax tie-breaking depends on it).
     """
     b = np.array(boxes, dtype=np.float32, copy=True)
     if return_indices:
@@ -79,6 +88,8 @@ def soft_nms_np(
         idx_col = np.arange(b.shape[0], dtype=np.float32)[:, None]
         b = np.concatenate([b, idx_col], axis=1)
     N = b.shape[0]
+    sigma = np.float32(sigma)
+    one = np.float32(1)
     i = 0
     while i < N:
         # select max-score box in b[i:N], swap into position i
@@ -87,28 +98,40 @@ def soft_nms_np(
         tx1, ty1, tx2, ty2 = b[i, 0], b[i, 1], b[i, 2], b[i, 3]
         tarea = np.float32((tx2 - tx1 + 1) * (ty2 - ty1 + 1))
 
-        pos = i + 1
-        while pos < N:
-            x1, y1, x2, y2 = b[pos, 0], b[pos, 1], b[pos, 2], b[pos, 3]
-            area = np.float32((x2 - x1 + 1) * (y2 - y1 + 1))
-            iw = np.float32(min(tx2, x2) - max(tx1, x1) + 1)
-            if iw > 0:
-                ih = np.float32(min(ty2, y2) - max(ty1, y1) + 1)
-                if ih > 0:
-                    ua = np.float32(tarea + area - iw * ih)
-                    ov = np.float32(iw * ih / ua)
-                    if method == 1:  # linear
-                        weight = np.float32(1 - ov) if ov > Nt else np.float32(1)
-                    elif method == 2:  # gaussian
-                        weight = np.float32(np.exp(-(ov * ov) / np.float32(sigma)))
-                    else:  # hard
-                        weight = np.float32(0) if ov > Nt else np.float32(1)
-                    b[pos, 4] = np.float32(weight * b[pos, 4])
-                    if b[pos, 4] < threshold:
+        rest = b[i + 1 : N]
+        if len(rest):
+            area = (rest[:, 2] - rest[:, 0] + one) * (
+                rest[:, 3] - rest[:, 1] + one
+            )
+            iw = np.minimum(tx2, rest[:, 2]) - np.maximum(tx1, rest[:, 0]) + one
+            ih = np.minimum(ty2, rest[:, 3]) - np.maximum(ty1, rest[:, 1]) + one
+            hit = (iw > 0) & (ih > 0)
+            inter = iw * ih
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ov = np.where(
+                    hit, inter / (tarea + area - inter), np.float32(0)
+                )
+            if method == 1:  # linear
+                weight = np.where(ov > Nt, one - ov, one)
+            elif method == 2:  # gaussian
+                weight = np.exp(-(ov * ov) / sigma)
+            else:  # hard
+                weight = np.where(ov > Nt, np.float32(0), one)
+            rest[:, 4] = np.where(hit, weight * rest[:, 4], rest[:, 4])
+            # replay the reference's drop/tail-swap order exactly: only
+            # rows whose decay ran (hit) are eligible to drop
+            drop = hit & (rest[:, 4] < threshold)
+            if drop.any():
+                eligible = np.zeros(len(b), bool)
+                eligible[i + 1 : N] = drop
+                pos = i + 1
+                while pos < N:
+                    if eligible[pos]:
                         b[pos] = b[N - 1]
+                        eligible[pos] = eligible[N - 1]
                         N -= 1
-                        pos -= 1
-            pos += 1
+                    else:
+                        pos += 1
         i += 1
     if return_indices:
         return b[:N, :5], b[:N, 5].astype(np.int64)

@@ -104,3 +104,66 @@ def test_nms_wrapper_dispatch(rng):
     assert hard.shape[1] == 5 and soft.shape[1] == 5
     with pytest.raises(AssertionError):
         NMSWrapper(0.5, 0.5)
+
+
+def _soft_nms_scalar_oracle(boxes, sigma=0.5, Nt=0.3, threshold=0.001,
+                            method=2):
+    """Direct transliteration of the reference Cython soft-NMS
+    (/root/reference/lib/nms/cpu_nms.pyx:17-110) as a labeled oracle:
+    scalar double loop, fp32 locals, tail-swap drops."""
+    b = np.array(boxes, dtype=np.float32, copy=True)
+    N = b.shape[0]
+    i = 0
+    while i < N:
+        maxpos = i + int(np.argmax(b[i:N, 4]))
+        b[[i, maxpos]] = b[[maxpos, i]]
+        tx1, ty1, tx2, ty2 = b[i, 0], b[i, 1], b[i, 2], b[i, 3]
+        tarea = np.float32((tx2 - tx1 + 1) * (ty2 - ty1 + 1))
+        pos = i + 1
+        while pos < N:
+            x1, y1, x2, y2 = b[pos, 0], b[pos, 1], b[pos, 2], b[pos, 3]
+            area = np.float32((x2 - x1 + 1) * (y2 - y1 + 1))
+            iw = np.float32(min(tx2, x2) - max(tx1, x1) + 1)
+            if iw > 0:
+                ih = np.float32(min(ty2, y2) - max(ty1, y1) + 1)
+                if ih > 0:
+                    ua = np.float32(tarea + area - iw * ih)
+                    ov = np.float32(iw * ih / ua)
+                    if method == 1:
+                        weight = np.float32(1 - ov) if ov > Nt else np.float32(1)
+                    elif method == 2:
+                        weight = np.float32(np.exp(-(ov * ov) / np.float32(sigma)))
+                    else:
+                        weight = np.float32(0) if ov > Nt else np.float32(1)
+                    b[pos, 4] = np.float32(weight * b[pos, 4])
+                    if b[pos, 4] < threshold:
+                        b[pos] = b[N - 1]
+                        N -= 1
+                        pos -= 1
+            pos += 1
+        i += 1
+    return b[:N]
+
+
+def test_soft_nms_vectorized_matches_scalar_oracle(rng):
+    """The vectorized-inner soft_nms_np must be BIT-identical to the
+    scalar reference transliteration, including drop/tail-swap order
+    (high-overlap clusters force many threshold drops)."""
+    for trial in range(20):
+        n = rng.randint(2, 120)
+        # clustered boxes -> heavy overlap -> decays + drops
+        centers = rng.uniform(50, 150, (max(n // 20, 1), 2))
+        c = centers[rng.randint(len(centers), size=n)]
+        wh = rng.uniform(20, 60, (n, 2)).astype(np.float32)
+        dets = np.zeros((n, 5), np.float32)
+        dets[:, 0] = c[:, 0] - wh[:, 0] / 2
+        dets[:, 1] = c[:, 1] - wh[:, 1] / 2
+        dets[:, 2] = c[:, 0] + wh[:, 0] / 2
+        dets[:, 3] = c[:, 1] + wh[:, 1] / 2
+        dets[:, 4] = rng.uniform(0.001, 1.0, n)
+        for method, thresh in ((2, 0.3), (2, 0.001), (1, 0.05), (0, 0.01)):
+            got = soft_nms_np(dets, sigma=0.55, Nt=0.3, threshold=thresh,
+                              method=method)
+            want = _soft_nms_scalar_oracle(dets, sigma=0.55, Nt=0.3,
+                                           threshold=thresh, method=method)
+            np.testing.assert_array_equal(got, want)
