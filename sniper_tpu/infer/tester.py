@@ -261,10 +261,14 @@ class Tester:
                     f"{post_time / n_done:.4f}s/im"
                 )
 
-        # one-deep pipeline: dispatch batch N+1's forward (async under
-        # jit) before decoding/post-processing batch N on the host
+        # two overlaps: a background thread pre-assembles host batches
+        # (imread/crop/resize into canvases) while the device runs, and
+        # a one-deep pipeline dispatches batch N+1's forward (async
+        # under jit) before decoding/post-processing batch N on the host
+        from sniper_tpu.data.loader import Prefetcher
+
         pending = None
-        for batch in batches:
+        for batch in Prefetcher(batches, depth=2):
             out = self.forward_fn(batch["data"], batch["im_info"])
             if pending is not None:
                 process(*pending)

@@ -223,3 +223,29 @@ def test_loader_fewer_chips_than_batch(rng):
     batches = list(iter(loader))
     assert len(batches) == len(loader) >= 1
     assert batches[0]["data"].shape[0] == 16
+
+
+def test_sparse_targets_rpn_only_total_loss(rng):
+    """TRAIN.ONLY_PROPOSAL (phase-1 of the neg-chip pipeline) must work
+    with the loader's default sparse targets."""
+    import jax.numpy as jnp
+
+    from sniper_tpu.models.losses import total_loss
+
+    B, A, fh, fw = 2, 9, 32, 32
+    pids = np.tile(np.arange(256, dtype=np.int32), (B, 1))
+    batch = {
+        "rpn_pids": pids,
+        "rpn_label_vals": rng.choice([0.0, 1.0], (B, 256)).astype(np.float32),
+        "fg_pids": pids[:, :128],
+        "fg_targets": (rng.randn(B, 128, 4) * 0.1).astype(np.float32),
+    }
+    outputs = {
+        "rpn_cls_logits": jnp.asarray(
+            rng.randn(B, fh, fw, 2, A).astype(np.float32)),
+        "rpn_bbox_pred": jnp.asarray(
+            rng.randn(B, 4 * A, fh, fw).astype(np.float32)),
+    }
+    loss, metrics = total_loss(outputs, batch, batch_images=B, rpn_only=True)
+    assert np.isfinite(float(loss))
+    assert set(metrics) == {"rpn_cls_loss", "rpn_bbox_loss", "loss"}
