@@ -81,12 +81,33 @@ def main():
         # force completion via a small host fetch
         float(metrics["loss"])
         best = min(best, (time.perf_counter() - t0) / n)
-    print(json.dumps({
+
+    # train MFU anchor: XLA cost analysis of the full fwd+bwd+SGD
+    # program vs the chip's dense bf16 peak (same method as bench.py)
+    peak_by_kind = {
+        "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+        "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+        "TPU v6e": 918e12,
+    }
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in peak_by_kind.items() if k in kind), 197e12)
+    flops = None
+    try:
+        cost = step.lower(state, sharded, key).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    out = {
         "metric": "train_step_r101",
         "batch": b, "chip": chip,
         "step_ms": round(best * 1e3, 1),
         "img_per_s": round(b / best, 2),
-    }))
+    }
+    if flops:
+        out["step_tflops"] = round(flops / 1e12, 2)
+        out["train_mfu"] = round(flops / best / peak, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
