@@ -73,3 +73,32 @@ def test_num_devices_requires_explicit_opt_in():
     assert _test_num_devices(cfg) == 1  # default -1 stays single-chip
     cfg.parallel.num_devices = 4
     assert _test_num_devices(cfg) == 4
+
+
+def test_dp_forward_uint8_matches_fp32():
+    """uint8 canvases through the DP forward (device_normalize inside
+    the jitted fn, batch sharded over 4 devices) must match the fp32
+    host-normalized single-device forward."""
+    model = _tiny_model()
+    rng = np.random.RandomState(2)
+    means = (103.939, 116.779, 123.68)
+    u8 = rng.randint(0, 255, (4, H, W, 3)).astype(np.uint8)
+    # host-normalize the fp32 twin exactly like process_chip_image_rect
+    f32 = u8.astype(np.float32) - np.asarray(means, np.float32)[::-1]
+    im_info = jnp.asarray(np.tile([[H, W, 1.0]], (4, 1)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(f32), im_info,
+        train=False,
+    )
+    f1 = make_forward(model, variables, num_devices=1)
+    f4 = make_forward(model, variables, num_devices=4, pixel_means=means)
+    o1 = f1(jnp.asarray(f32), im_info)
+    o4 = f4(jnp.asarray(u8), im_info)
+    # XLA fuses the in-graph mean-subtract into the first conv, which
+    # reassociates fp32 accumulation — parity is plumbing-level, not
+    # bitwise (observed max diff 2.3e-3 on 63-px roi coords)
+    for k in ("rois", "cls_prob", "bbox_pred", "roi_valid"):
+        np.testing.assert_allclose(
+            np.asarray(o1[k]), np.asarray(o4[k]), rtol=1e-3, atol=1e-2,
+            err_msg=k,
+        )
