@@ -167,6 +167,7 @@ class Tester:
     def get_detections(
         self, batches, roidb, cls_thresh=1e-3, per_chip_nms=False,
         do_pruning=False, autofocus=False, with_masks=False,
+        stage_on_device=False,
     ):
         """Run detection over an iterable of batches.
 
@@ -264,8 +265,21 @@ class Tester:
         # two overlaps: a background thread pre-assembles host batches
         # (imread/crop/resize into canvases) while the device runs, and
         # a one-deep pipeline dispatches batch N+1's forward (async
-        # under jit) before decoding/post-processing batch N on the host
+        # under jit) before decoding/post-processing batch N on the host.
+        # stage_on_device additionally issues the (large) data transfer
+        # from the prefetch thread so it can overlap device compute.
         from sniper_tpu.data.loader import Prefetcher
+
+        if stage_on_device:
+            import jax
+
+            def _staged(it):
+                for b in it:
+                    b = dict(b)
+                    b["data"] = jax.device_put(b["data"])
+                    yield b
+
+            batches = _staged(batches)
 
         pending = None
         for batch in Prefetcher(batches, depth=2):
