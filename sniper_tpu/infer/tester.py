@@ -318,6 +318,11 @@ class Tester:
             if with_masks else None
         )
         def aggregate_image(i):
+            # merge scales/chips per class first, then rescore ALL
+            # classes in one batched soft-NMS call (one padded greedy
+            # loop instead of num_classes sequential ones)
+            merged_cls = {}
+            merged_cls_m = {}
             for j in range(1, self.num_classes):
                 agg, agg_m = [], []
                 for s, (dets_s, vr) in enumerate(
@@ -349,19 +354,34 @@ class Tester:
                     np.vstack(agg).astype(np.float32)
                     if agg else np.zeros((0, 5), np.float32)
                 )
+                all_boxes[j][i] = merged
+                if merged.shape[0]:
+                    merged_cls[j] = merged
                 if with_masks:
-                    merged_m = (
+                    merged_cls_m[j] = (
                         np.concatenate(agg_m, axis=0) if agg_m
                         else np.zeros((0, mask_size, mask_size), np.float32)
                     )
-                    if merged.shape[0]:
-                        merged, keep = self.nms(merged, return_indices=True)
-                        merged_m = merged_m[keep]
-                    all_boxes[j][i] = merged
-                    all_masks[j][i] = (merged, merged_m)
+            js = list(merged_cls)
+            if js:
+                if with_masks:
+                    outs, keeps = self.nms.batched(
+                        [merged_cls[j] for j in js], return_indices=True
+                    )
+                    for j, out, keep in zip(js, outs, keeps):
+                        all_boxes[j][i] = out
+                        merged_cls_m[j] = merged_cls_m[j][keep]
                 else:
-                    all_boxes[j][i] = (
-                        self.nms(merged) if merged.shape[0] else merged
+                    outs = self.nms.batched([merged_cls[j] for j in js])
+                    for j, out in zip(js, outs):
+                        all_boxes[j][i] = out
+            if with_masks:
+                for j in range(1, self.num_classes):
+                    all_masks[j][i] = (
+                        all_boxes[j][i],
+                        merged_cls_m.get(
+                            j, np.zeros((0, mask_size, mask_size), np.float32)
+                        ),
                     )
 
             max_per_image = self.cfg.TEST.MAX_PER_IMAGE

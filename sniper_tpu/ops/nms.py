@@ -138,6 +138,102 @@ def soft_nms_np(
     return b[:N]
 
 
+def soft_nms_np_batched(
+    dets_list,
+    sigma: float = 0.5,
+    Nt: float = 0.3,
+    threshold: float = 0.001,
+    method: int = 2,
+    return_indices: bool = False,
+):
+    """Run soft-NMS on many INDEPENDENT problems (e.g. one per class) in
+    a single padded greedy loop — bit-identical per problem to
+    soft_nms_np, but the Python loop runs max(kept) iterations instead
+    of sum(kept): one [C, Nmax] vector op per step covers every class.
+
+    dets_list: sequence of [N_c, 5] float32 arrays. Returns a list of
+    surviving [M_c, 5] arrays (plus a list of original-index arrays
+    when return_indices).
+    """
+    C = len(dets_list)
+    Ns = np.array([d.shape[0] for d in dets_list], dtype=int)
+    Nmax = int(Ns.max()) if C else 0
+    if Nmax == 0:
+        outs = [np.zeros((0, 5), np.float32) for _ in range(C)]
+        if return_indices:
+            return outs, [np.zeros((0,), np.int64) for _ in range(C)]
+        return outs
+    K = 6 if return_indices else 5
+    b = np.zeros((C, Nmax, K), np.float32)
+    for c, d in enumerate(dets_list):
+        n = d.shape[0]
+        b[c, :n, :5] = d
+        if return_indices:
+            b[c, :n, 5] = np.arange(n, dtype=np.float32)
+
+    N = Ns.copy()                 # live length per problem
+    i = np.zeros(C, dtype=int)    # kept count per problem
+    pos_idx = np.arange(Nmax)
+    sigma = np.float32(sigma)
+    one = np.float32(1)
+    while True:
+        act = i < N
+        if not act.any():
+            break
+        rows = np.where(act)[0]
+        ic = i[rows]
+        # argmax over each row's [i_c, N_c) window (first-index ties,
+        # like the scalar kernel's slice argmax)
+        selmask = (pos_idx >= ic[:, None]) & (pos_idx < N[rows, None])
+        S = np.where(selmask, b[rows, :, 4], -np.inf)
+        maxpos = S.argmax(1)
+        tmp = b[rows, ic].copy()
+        b[rows, ic] = b[rows, maxpos]
+        b[rows, maxpos] = tmp
+        t = b[rows, ic]  # [R, K] the kept boxes this step
+        tarea = (t[:, 2] - t[:, 0] + one) * (t[:, 3] - t[:, 1] + one)
+        x1 = b[rows, :, 0]
+        y1 = b[rows, :, 1]
+        x2 = b[rows, :, 2]
+        y2 = b[rows, :, 3]
+        area = (x2 - x1 + one) * (y2 - y1 + one)
+        iw = np.minimum(t[:, 2, None], x2) - np.maximum(t[:, 0, None], x1) + one
+        ih = np.minimum(t[:, 3, None], y2) - np.maximum(t[:, 1, None], y1) + one
+        postmask = (pos_idx[None] > ic[:, None]) & (pos_idx[None] < N[rows, None])
+        hit = (iw > 0) & (ih > 0) & postmask
+        inter = iw * ih
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ov = np.where(hit, inter / (tarea[:, None] + area - inter),
+                          np.float32(0))
+        if method == 1:
+            weight = np.where(ov > Nt, one - ov, one)
+        elif method == 2:
+            weight = np.exp(-(ov * ov) / sigma)
+        else:
+            weight = np.where(ov > Nt, np.float32(0), one)
+        scores = b[rows, :, 4]
+        b[rows, :, 4] = np.where(hit, weight * scores, scores)
+        # replay the reference drop/tail-swap order per row (rare path)
+        drop = hit & (b[rows, :, 4] < threshold)
+        for r, c in zip(np.where(drop.any(1))[0], rows[drop.any(1)]):
+            elig = drop[r].copy()
+            pos = int(elig.argmax())
+            n_c = int(N[c])
+            while pos < n_c:
+                if elig[pos]:
+                    b[c, pos] = b[c, n_c - 1]
+                    elig[pos] = elig[n_c - 1]
+                    n_c -= 1
+                else:
+                    pos += 1
+            N[c] = n_c
+        i[rows] = ic + 1
+    outs = [b[c, : N[c], :5] for c in range(C)]
+    if return_indices:
+        return outs, [b[c, : N[c], 5].astype(np.int64) for c in range(C)]
+    return outs
+
+
 class NMSWrapper:
     """thresh>0 -> hard NMS; else gaussian soft-NMS with ``sigma``.
 
@@ -158,6 +254,17 @@ class NMSWrapper:
             return dets[keep]
         return soft_nms_np(dets, sigma=self.sigma, method=2,
                            return_indices=return_indices)
+
+    def batched(self, dets_list, return_indices: bool = False):
+        """NMS over many independent det sets (e.g. the per-class sets
+        of one image) — soft-NMS runs them in one padded greedy loop."""
+        if self.thresh > 0:
+            outs = [self(d, return_indices) for d in dets_list]
+            if return_indices:
+                return [o[0] for o in outs], [o[1] for o in outs]
+            return outs
+        return soft_nms_np_batched(dets_list, sigma=self.sigma, method=2,
+                                   return_indices=return_indices)
 
 
 def nms_jax(

@@ -167,3 +167,34 @@ def test_soft_nms_vectorized_matches_scalar_oracle(rng):
             want = _soft_nms_scalar_oracle(dets, sigma=0.55, Nt=0.3,
                                            threshold=thresh, method=method)
             np.testing.assert_array_equal(got, want)
+
+
+def test_soft_nms_batched_matches_per_class(rng):
+    """soft_nms_np_batched over C independent problems must be
+    bit-identical per problem to soft_nms_np, including indices."""
+    from sniper_tpu.ops.nms import soft_nms_np_batched
+
+    for trial in range(6):
+        dets_list = []
+        for _ in range(rng.randint(1, 12)):
+            n = rng.randint(0, 90)
+            centers = rng.uniform(50, 150, (max(n // 15, 1), 2))
+            c = centers[rng.randint(len(centers), size=n)]
+            wh = rng.uniform(20, 60, (n, 2)).astype(np.float32)
+            d = np.zeros((n, 5), np.float32)
+            d[:, 0] = c[:, 0] - wh[:, 0] / 2
+            d[:, 1] = c[:, 1] - wh[:, 1] / 2
+            d[:, 2] = c[:, 0] + wh[:, 0] / 2
+            d[:, 3] = c[:, 1] + wh[:, 1] / 2
+            d[:, 4] = rng.uniform(0.001, 1.0, n)
+            dets_list.append(d)
+        for thresh in (0.001, 0.05):
+            outs, idxs = soft_nms_np_batched(
+                dets_list, sigma=0.55, threshold=thresh, method=2,
+                return_indices=True,
+            )
+            for d, out, idx in zip(dets_list, outs, idxs):
+                want, widx = soft_nms_np(d, sigma=0.55, threshold=thresh,
+                                         method=2, return_indices=True)
+                np.testing.assert_array_equal(out, want)
+                np.testing.assert_array_equal(idx, widx)
