@@ -92,6 +92,16 @@ class ChipGenerator:
 
             self._cpp = _native.load()  # None if the .so isn't built
 
+    def with_rng(self, rng: np.random.RandomState) -> "ChipGenerator":
+        """Shallow clone with its own RandomState (shares the loaded C++
+        handle) — gives each image an independent, order-free stream so
+        the per-epoch chip pipeline can run images in parallel."""
+        g = object.__new__(ChipGenerator)
+        g.chip_stride = self.chip_stride
+        g.rng = rng
+        g._cpp = self._cpp
+        return g
+
     def generate(self, boxes: np.ndarray, width: int, height: int, chipsize: int):
         """boxes [N,4] (already scaled) -> list of chip xyxy arrays."""
         boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)

@@ -172,7 +172,14 @@ class ChipLoader:
         )
 
     def reset(self):
-        """Per-epoch chip pipeline; returns total chip count."""
+        """Per-epoch chip pipeline; returns total chip count.
+
+        Images are independent: each derives its own RandomState from
+        the epoch seed (so results don't depend on execution order) and
+        runs extract -> assign -> neg-sample as one unit, mapped over
+        the thread pool when TRAIN.NUM_THREAD > 1 (the reference burns
+        a Pool(NUM_PROCESS=64) on the same per-epoch re-roll,
+        MNIteratorE2E.py:47-69)."""
         cfg = self.cfg
         lo, hi = cfg.TRAIN.CHIP_STRIDE_RANGE
         stride = self.rng.randint(lo, hi)
@@ -180,25 +187,36 @@ class ChipLoader:
                             rng=self.rng)
         self.gen = gen
         scales, ranges = cfg.TRAIN.SCALES, cfg.TRAIN.VALID_RANGES
-        chip_count = 0
-        chipindex = []
-        for i, r in enumerate(self.roidb):
-            r["crops"] = extract_chips(r, scales, ranges, self.chip_size, gen)
-            chip_count += len(r["crops"])
-        for i, r in enumerate(self.roidb):
+        epoch_seed = int(self.rng.randint(0, 2**31 - 1))
+
+        def image_chips(i):
+            r = self.roidb[i]
+            rng_i = np.random.RandomState((epoch_seed + i) % (2**31 - 1))
+            gen_i = gen.with_rng(rng_i)
+            r["crops"] = extract_chips(r, scales, ranges, self.chip_size,
+                                       gen_i)
             props, negs, negp = assign_boxes(
-                r, scales, ranges, self.chip_size, gen,
+                r, scales, ranges, self.chip_size, gen_i,
                 use_neg_chips=cfg.TRAIN.USE_NEG_CHIPS,
             )
             r["props_in_chips"] = list(props)
             if cfg.TRAIN.USE_NEG_CHIPS and len(negs) > 0:
                 sel = np.arange(len(negs))
                 if len(negs) > self.n_neg_per_im:
-                    sel = self.rng.permutation(sel)[: self.n_neg_per_im]
+                    sel = rng_i.permutation(sel)[: self.n_neg_per_im]
                 for ind in sel:
-                    chip_count += 1
                     r["crops"].append(negs[ind])
                     r["props_in_chips"].append(negp[ind].astype(np.int32))
+            return len(r["crops"])
+
+        idxs = range(len(self.roidb))
+        if self._pool is not None:
+            counts = list(self._pool.map(image_chips, idxs))
+        else:
+            counts = [image_chips(i) for i in idxs]
+        chip_count = int(sum(counts))
+        chipindex = []
+        for i, r in enumerate(self.roidb):
             chipindex += [i] * len(r["crops"])
 
         chipindex = np.array(chipindex, dtype=int)

@@ -249,3 +249,28 @@ def test_sparse_targets_rpn_only_total_loss(rng):
     loss, metrics = total_loss(outputs, batch, batch_images=B, rpn_only=True)
     assert np.isfinite(float(loss))
     assert set(metrics) == {"rpn_cls_loss", "rpn_bbox_loss", "loss"}
+
+
+def test_reset_threaded_matches_serial(rng):
+    """Per-epoch chip pipeline must produce identical chips regardless
+    of TRAIN.NUM_THREAD (per-image derived RNG, no shared stream)."""
+    roidb_a = make_roidb(rng)
+    roidb_b = [dict(r) for r in roidb_a]
+    cfg_s = make_cfg()
+    cfg_s.TRAIN.USE_NEG_CHIPS = False
+    cfg_t = make_cfg()
+    cfg_t.TRAIN.USE_NEG_CHIPS = False
+    cfg_t.TRAIN.NUM_THREAD = 4
+    ls = ChipLoader(roidb_a, cfg_s, batch_size=2,
+                    image_loader=synth_image_loader, seed=11)
+    lt = ChipLoader(roidb_b, cfg_t, batch_size=2,
+                    image_loader=synth_image_loader, seed=11)
+    n_s = ls.reset()
+    n_t = lt.reset()
+    assert n_s == n_t
+    assert ls.schedule == lt.schedule
+    for ra, rb in zip(roidb_a, roidb_b):
+        assert len(ra["crops"]) == len(rb["crops"])
+        for ca, cb in zip(ra["crops"], rb["crops"]):
+            np.testing.assert_array_equal(ca.box, cb.box)
+            assert ca.im_scale == cb.im_scale
