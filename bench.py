@@ -196,7 +196,9 @@ def main(trunk: str = "r101"):
 
 
 if __name__ == "__main__":
-    import sys as _sys
+    import argparse
 
-    main(_sys.argv[1].lstrip("-").replace("trunk=", "")
-         if len(_sys.argv) > 1 else "r101")
+    _p = argparse.ArgumentParser(description="multi-scale inference bench")
+    _p.add_argument("trunk", nargs="?", default="r101",
+                    choices=["r101", "r50", "mnv2", "x101"])
+    main(_p.parse_args().trunk)

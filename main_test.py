@@ -56,13 +56,19 @@ def make_forward(model, variables, num_devices: int = 1, pixel_means=None):
     Batches arrive as uint8 RGB canvases (TestChipIterator) and are
     mean-subtracted on device (device_normalize) — 4x fewer
     host->device bytes than shipping fp32."""
-    from sniper_tpu.infer.tester import device_normalize
+    import jax.numpy as jnp
 
-    means = pixel_means if pixel_means is not None else (0.0, 0.0, 0.0)
+    from sniper_tpu.infer.tester import device_normalize
 
     @jax.jit
     def fn(variables, data, im_info):
-        data = device_normalize(data, im_info, means)
+        if data.dtype == jnp.uint8:
+            if pixel_means is None:
+                raise ValueError(
+                    "uint8 canvases but make_forward got no pixel_means "
+                    "— pass cfg.network.PIXEL_MEANS"
+                )
+            data = device_normalize(data, im_info, pixel_means)
         return model.apply(variables, data, im_info, train=False)
 
     if num_devices <= 1:

@@ -30,8 +30,9 @@ N_IMAGES = 32
 IM_W, IM_H = 640, 480
 
 
-def synth_loader(_name):
-    rng = np.random.RandomState(hash(_name) % (2**31))
+def synth_loader(name):
+    # content-based seed (hash() is per-process randomized)
+    rng = np.random.RandomState(int(name.removeprefix("im")))
     return rng.randint(0, 255, (IM_H, IM_W, 3), np.uint8)
 
 
@@ -59,7 +60,7 @@ def make_roidb():
     ]
 
 
-def planted_maps(all_maps, density, rng):
+def planted_maps(all_maps, density):
     """Replace each chip's focus map with a centered blob covering
     ``density`` of its area (binary, so any threshold < 1 keeps it)."""
     out = []
@@ -107,7 +108,6 @@ def run_pipeline(fwd, variables, cfg, autofocus_density=None):
     roidb = make_roidb()
     init_inference_crops(roidb)
     tester = Tester(lambda d, i: fwd(variables, d, i), cfg, 81)
-    rng = np.random.RandomState(0)
 
     t0 = time.perf_counter()
     scale_dets = []
@@ -125,7 +125,7 @@ def run_pipeline(fwd, variables, cfg, autofocus_density=None):
         )
         scale_dets.append(all_boxes)
         if af:
-            maps = planted_maps(all_maps, autofocus_density, rng)
+            maps = planted_maps(all_maps, autofocus_density)
             area = add_chips(roidb, maps, s, cfg)
             if s == n_scales - 2:
                 pct = 100.0 * area[0] / max(area[1], 1e-9)

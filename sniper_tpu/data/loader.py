@@ -342,11 +342,16 @@ class ChipLoader:
 
 
 class Prefetcher:
-    """Background-thread batch prefetch (PrefetchingIter equivalent)."""
+    """Background-thread batch prefetch (PrefetchingIter equivalent).
+
+    Producer exceptions (failed imread, decode error, ...) are captured
+    and re-raised in the CONSUMER thread — a run must abort, not return
+    silently truncated results."""
 
     def __init__(self, iterable, depth: int = 2):
         self.iterable = iterable
         self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.error: BaseException | None = None
         self.thread = threading.Thread(target=self._work, daemon=True)
         self.thread.start()
 
@@ -354,6 +359,8 @@ class Prefetcher:
         try:
             for item in self.iterable:
                 self.q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            self.error = e
         finally:
             self.q.put(None)
 
@@ -361,5 +368,7 @@ class Prefetcher:
         while True:
             item = self.q.get()
             if item is None:
+                if self.error is not None:
+                    raise self.error
                 return
             yield item

@@ -114,8 +114,17 @@ class TestChipIterator:
         for i, r in enumerate(roidb):
             s = scale_for_image(r["width"], r["height"], self.spec)
             for j, c in enumerate(r.get("inference_crops", [])):
-                w = float(np.ceil((c[2] - c[0]) * s))
-                h = float(np.ceil((c[3] - c[1]) * s))
+                # bin by the ACTUAL content extent: the crop truncates
+                # fractional chip coords to ints (can widen the span by
+                # up to 1 px vs c2-c0) and cv2 rounds the resize — ceil
+                # of the int-span upper-bounds it, so a tier never clips
+                # content (process_chip_image_rect semantics)
+                x1 = max(int(c[0]), 0)
+                y1 = max(int(c[1]), 0)
+                x2 = min(int(c[2]), int(r["width"]))
+                y2 = min(int(c[3]), int(r["height"]))
+                w = float(np.ceil((x2 - x1) * s))
+                h = float(np.ceil((y2 - y1) * s))
                 land = w >= h
                 tiers = land_tiers if land else port_tiers
                 k = smallest_tier(tiers, h, w)

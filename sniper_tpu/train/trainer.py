@@ -70,7 +70,7 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
                     rpn_batch_size: int = 256, with_autofocus: bool = False,
                     with_mask: bool = False, rpn_only: bool = False,
                     ohem_rois: int = 0, axis: str = "data",
-                    pixel_means=(0.0, 0.0, 0.0)):
+                    pixel_means=None):
     """Build the jitted data-parallel train step.
 
     Returns step(state, batch, key) -> (state, metrics). ``batch``
@@ -90,6 +90,14 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
     def loss_fn(params, batch_stats, batch, key):
         data = batch["data"]
         if data.dtype == jnp.uint8:
+            if pixel_means is None:
+                # fail at trace time: zero means would silently train on
+                # un-normalized images
+                raise ValueError(
+                    "uint8 batch but make_train_step got no pixel_means "
+                    "— pass cfg.network.PIXEL_MEANS (or use "
+                    "ChipLoader(uint8_data=False))"
+                )
             data = device_normalize(data, batch["data_extent"], pixel_means)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},

@@ -274,3 +274,16 @@ def test_reset_threaded_matches_serial(rng):
         for ca, cb in zip(ra["crops"], rb["crops"]):
             np.testing.assert_array_equal(ca.box, cb.box)
             assert ca.im_scale == cb.im_scale
+
+
+def test_prefetcher_propagates_producer_errors():
+    """A failing iterator must abort the consumer, not silently
+    truncate (eval on partial results would look 'successful')."""
+    def gen():
+        yield {"x": np.array([0])}
+        raise RuntimeError("decode failed")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(Prefetcher(gen()))

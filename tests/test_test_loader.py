@@ -128,3 +128,44 @@ def test_full_image_iteration_unchanged_by_tiers(rng):
                           image_loader=synth_image_loader)
     shapes = sorted({b["data"].shape[1:3] for b in iter(it)})
     assert shapes == [(1408, 2048), (2048, 1408)]
+
+
+def test_tier_binning_never_clips_content(rng):
+    """Fractional chip coords truncate to a WIDER int crop and cv2
+    rounds the resize — binning must upper-bound that, or a tier canvas
+    silently clips border pixels (regression: [50.9, 226.2] at
+    s=2.9167 has nominal ceil w 512 but actual content 514)."""
+    cfg = make_cfg()
+    roidb = [
+        {"image": "a:480x640", "width": 640, "height": 480,
+         "flipped": False},
+    ]
+    roidb[0]["inference_crops"] = np.array(
+        [[50.9, 10.4, 226.2, 164.5], [0.3, 0.7, 100.9, 70.2]]
+    )
+    # scale for 480-short-side at (800, 1280): s = 800/480
+    it = TestChipIterator(roidb, cfg, 1, batch_size=1,
+                          image_loader=synth_image_loader)
+    for b in iter(it):
+        assert b["im_info"][0][0] <= b["data"].shape[1]
+        assert b["im_info"][0][1] <= b["data"].shape[2]
+        # content must reach the canvas only if it truly fits: recompute
+        # the exact crop extent and compare
+        import sniper_tpu.data.loader as L
+        r = roidb[0]
+        j = int(b["chip_ids"][0])
+        c = r["inference_crops"][j]
+        s = b["im_scales"][0]
+        im = synth_image_loader(r["image"])
+        img, oh, ow = L.process_chip_image_rect(
+            im, c, s, b["data"].shape[1:3], cfg.network.PIXEL_MEANS,
+            as_uint8=True,
+        )
+        # the canvas held the full resized content (no min() clamp hit)
+        x1, y1 = max(int(c[0]), 0), max(int(c[1]), 0)
+        x2 = min(int(c[2]), im.shape[1])
+        y2 = min(int(c[3]), im.shape[0])
+        import cv2
+        full = cv2.resize(im[y1:y2, x1:x2], None, None, fx=s, fy=s,
+                          interpolation=cv2.INTER_LINEAR)
+        assert (oh, ow) == full.shape[:2], "canvas clipped resized content"

@@ -57,7 +57,9 @@ def setup():
     state0 = create_train_state(model, cfg, batch, optax.sgd(0.1))
     tx, sched = make_optimizer(cfg, epoch_size=100, params=state0.params)
     state = state0.replace(opt_state=tx.init(state0.params))
-    step = make_train_step(model, tx, mesh, B_PER_DEV)
+    # explicit zero means: synthetic fp32/uint8 batches, no mean shift
+    step = make_train_step(model, tx, mesh, B_PER_DEV,
+                           pixel_means=(0.0, 0.0, 0.0))
 
     def fresh_state():
         # the step donates its input state; hand each test its own copy
