@@ -365,6 +365,38 @@ def _extract_patch_batched(featc, crois, geom, M, E):
     return patch, cnt
 
 
+def _extract_patches_pallas(featc, geom, M, E):
+    """Patch extraction via the Pallas per-roi sampling kernel.
+
+    Same output contract as _extract_patch_batched but over the FULL
+    [B, rpi] roi axis in one pallas_call (no lax.map chunking — the
+    kernel's [E, W, C] row intermediate lives in VMEM, so there is no
+    per-chunk HBM intermediate to bound). geom from _roi_geom with
+    leading shape [B, rpi]. Returns (patch [B, rpi, E, E, C] in featc's
+    dtype, cnt [B, rpi, E, E] fp32 in-bounds mask).
+    """
+    from sniper_tpu.ops.pallas.roi_patch import extract_patches
+
+    B, H, W, C = featc.shape
+    x1, y1, _, _, sub_w, sub_h = geom
+    rpi = x1.shape[1]
+    ys = y1 + (0.5 - M) * sub_h
+    xs = x1 + (0.5 - M) * sub_w
+    patch = extract_patches(
+        featc, ys.reshape(-1), xs.reshape(-1),
+        sub_h.reshape(-1), sub_w.reshape(-1),
+        rois_per_image=rpi, patch_cells=E,
+    ).reshape(B, rpi, E, E, C)
+
+    cells = jnp.arange(E, dtype=jnp.float32)
+    pos_y = ys[..., None] + cells * sub_h[..., None]
+    pos_x = xs[..., None] + cells * sub_w[..., None]
+    vy = (pos_y > -0.5) & (pos_y < H - 0.5)
+    vx = (pos_x > -0.5) & (pos_x < W - 0.5)
+    cnt = (vy[..., :, None] & vx[..., None, :]).astype(jnp.float32)
+    return patch, cnt
+
+
 def _tiled_bin_avg(patch, cnt, P, S):
     """Undeformed per-bin average over a [*, T, T, C] patch (T = P*S):
     the S-wide bin windows tile the patch disjointly, so this is a
@@ -622,6 +654,7 @@ def fused_offset_pool(
     margin_bins: int = 2,
     roi_chunk: int = 64,
     offset_grad_mult: float = 0.01,
+    extract: str = "einsum",
 ):
     """Two-pass deformable ROI pooling with ONE patch extraction.
 
@@ -643,6 +676,12 @@ def fused_offset_pool(
     head (rcnn_head_fused) and the 14x14 mask-branch pooling
     (models/detector.py; reference two-pool composition
     resnet_mx_101_e2e_mask.py mask symbol).
+
+    ``extract`` selects the patch-extraction backend: "einsum" (default,
+    chunked lax.map over rois — fastest measured, and the only path with
+    a backward) or "pallas" (forward-only per-roi sampling kernel,
+    ops/pallas/roi_patch.py — parity oracle; measured SLOWER on v5e,
+    see its module docstring for numbers).
     """
     B, H, W, C = feat.shape
     P = pooled_size
@@ -651,6 +690,25 @@ def fused_offset_pool(
     M = margin_bins * S
     E = T + 2 * M
     rpi = rois_per_image
+
+    if extract == "pallas":
+        # forward-only Pallas sampling kernel (inference path): one
+        # pallas_call over all rois, then the pass-1 average / offset
+        # FC / stencil over the full roi axis — no lax.map chunking
+        featc = feat.astype(_mm_dtype())
+        crois = rois.reshape(B, rpi, 5)
+        geom = _roi_geom(crois, spatial_scale, T)
+        patch, cnt = _extract_patches_pallas(featc, geom, M, E)
+        offset_t = _tiled_bin_avg(
+            patch[:, :, M:M + T, M:M + T, :],
+            cnt[:, :, M:M + T, M:M + T], P, S,
+        )
+        off = offset_t.reshape(B, rpi, P * P * C) @ off_k + off_b
+        off = grad_scale(off, offset_grad_mult)
+        ctrans = off.reshape(B, rpi, 2, P, P).transpose(0, 1, 3, 4, 2)
+        pooled = _stencil_pool(patch, cnt, geom, ctrans, P, S, M, E,
+                               trans_std)
+        return pooled.reshape(B * rpi, P * P * C)
 
     chunk_b = max(1, roi_chunk // B)
     n_chunks = -(-rpi // chunk_b)
@@ -708,6 +766,7 @@ def rcnn_head_fused(
     margin_bins: int = 2,
     roi_chunk: int = 64,
     offset_grad_mult: float = 0.01,
+    extract: str = "einsum",
 ):
     """fused_offset_pool + the R-CNN FC stack.
 
@@ -726,7 +785,7 @@ def rcnn_head_fused(
         pooled_size=pooled_size, sample_per_part=sample_per_part,
         spatial_scale=spatial_scale, trans_std=trans_std,
         margin_bins=margin_bins, roi_chunk=roi_chunk,
-        offset_grad_mult=offset_grad_mult,
+        offset_grad_mult=offset_grad_mult, extract=extract,
     )
     h = jax.nn.relu(pooled @ f1_k + f1_b)
     h = jax.nn.relu(h @ f2_k + f2_b)
