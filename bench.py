@@ -45,6 +45,13 @@ def main(trunk: str = "r101"):
         dtype=jnp.bfloat16,
         pre_nms_top_n=6000,
         post_nms_top_n=300,
+        # single-chip inference: the composed-tent Pallas pool (what
+        # network.POOL_KERNEL "auto" resolves to here; 1.3-2.0x the
+        # einsum path at these canvases)
+        pool_kernel=(
+            "fused" if jax.default_backend() in ("tpu", "axon")
+            else "einsum"
+        ),
         **trunk_kw,
     )
 

@@ -92,6 +92,12 @@ def default_config() -> AttrDict:
     # 25-35% faster); trained offsets measured 4.4x below the clamp
     # (scripts/profile_margin.py). Set 2 for the conservative halo.
     n.HEAD_MARGIN_BINS = 1
+    # inference pool backend for the 7x7 R-CNN head: "auto" resolves to
+    # the fused Pallas kernel (ops/pallas/fused_pool.py) on a single
+    # TPU device and to the chunked einsum path otherwise; "einsum" /
+    # "fused" force a backend. Training always uses einsum (the Pallas
+    # kernel is forward-only).
+    n.POOL_KERNEL = "auto"
 
     # dataset
     d = c.dataset = AttrDict()

@@ -54,6 +54,11 @@ class SNIPERDetector(nn.Module):
     # offsets measured on the overfit checkpoint peak at |trans|=0.32,
     # 4.4x below the margin-1 clamp (scripts/profile_margin.py)
     head_margin_bins: int = 1
+    # inference pooling backend for the 7x7 head (network.POOL_KERNEL,
+    # resolved by the registry): "einsum" or "fused" (composed-tent
+    # Pallas kernel, 1.3-2.0x faster on v5e). Training always pools via
+    # einsum — the Pallas kernel is forward-only.
+    pool_kernel: str = "einsum"
     dtype: Any = jnp.bfloat16
     # proposal op params. The TEST.* RPN keys drive the inference branch
     # (reference MultiProposal attrs, resnet_mx_101_e2e.py:347-355); the
@@ -246,7 +251,8 @@ class SNIPERDetector(nn.Module):
             thresh=self.nms_thresh, min_size=self.rpn_min_size,
         )
         rois_flat = rois.reshape(-1, 5)
-        cls_score, bbox_pred = head(roi_feat_map, rois_flat)
+        cls_score, bbox_pred = head(roi_feat_map, rois_flat,
+                                    extract=self.pool_kernel)
         n = self.post_nms_top_n
         cls_prob = jax.nn.softmax(cls_score, axis=-1).reshape(b, n, -1)
         out = {
@@ -274,6 +280,10 @@ class SNIPERDetector(nn.Module):
             offm = _Lin(14 * 14 * C_m, 14 * 14 * 2,
                         kernel_init=nn.initializers.zeros,
                         name="mask_offset")
+            # stays on the einsum backend regardless of pool_kernel: the
+            # 14x14 pool's [P^2, H*C] per-roi intermediate (4x the 7x7
+            # head's) exceeds VMEM at the large canvas in the fused
+            # Pallas kernel
             pooled = fused_offset_pool(
                 roi_feat_map, rois_flat, offm.kernel, offm.bias,
                 rois_per_image=n, pooled_size=14,

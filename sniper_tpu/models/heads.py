@@ -95,9 +95,14 @@ class RCNNHead(nn.Module):
     margin_bins: int = 1
 
     @nn.compact
-    def __call__(self, roi_feat_map, rois, roi_chunk: int | None = None):
+    def __call__(self, roi_feat_map, rois, roi_chunk: int | None = None,
+                 extract: str = "einsum"):
         """roi_feat_map [B,H,W,256] fp32 (conv_new_1 output), rois [R,5].
         Returns (cls_score [R,num_classes], bbox_pred [R,4]).
+
+        ``extract`` picks the pooling backend (see
+        ops.deform.fused_offset_pool): "fused" runs the forward-only
+        composed-tent Pallas kernel — inference only.
 
         ``roi_chunk`` bounds the pool's per-lax.map-step roi block.
         Swept on v5e (scripts/profile_head_train.py): inference forward
@@ -134,6 +139,7 @@ class RCNNHead(nn.Module):
                 offset_grad_mult=self.offset_lr_mult,
                 margin_bins=self.margin_bins,
                 roi_chunk=roi_chunk or 16,
+                extract=extract,
             )
 
         # general path: respects the rois' batch-index column

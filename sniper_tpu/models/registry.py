@@ -12,6 +12,25 @@ import jax.numpy as jnp
 from sniper_tpu.models.detector import SNIPERDetector
 
 
+def _pool_kernel(cfg):
+    """Resolve network.POOL_KERNEL for the inference pooling backend.
+
+    "auto" -> the fused Pallas kernel (ops/pallas/fused_pool.py,
+    1.3-2.0x faster than the einsum path on v5e) when running on a
+    single TPU device; the einsum path on CPU or under explicit
+    multi-device inference (parallel.num_devices > 1), where a
+    pallas_call inside an auto-partitioned jit has no sharding rule.
+    """
+    pool = str(getattr(cfg.network, "POOL_KERNEL", "auto"))
+    if pool != "auto":
+        return pool
+    import jax
+
+    multi = int(getattr(cfg.parallel, "num_devices", 1) or 1) > 1
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    return "fused" if on_tpu and not multi else "einsum"
+
+
 def _resnet(units):
     def build(cfg, **overrides):
         kw = dict(
@@ -46,6 +65,7 @@ def _resnet(units):
             head_margin_bins=int(
                 getattr(cfg.network, "HEAD_MARGIN_BINS", 1)
             ),
+            pool_kernel=_pool_kernel(cfg),
         )
         kw.update(overrides)
         return SNIPERDetector(**kw)

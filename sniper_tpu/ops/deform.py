@@ -677,11 +677,14 @@ def fused_offset_pool(
     (models/detector.py; reference two-pool composition
     resnet_mx_101_e2e_mask.py mask symbol).
 
-    ``extract`` selects the patch-extraction backend: "einsum" (default,
-    chunked lax.map over rois — fastest measured, and the only path with
-    a backward) or "pallas" (forward-only per-roi sampling kernel,
-    ops/pallas/roi_patch.py — parity oracle; measured SLOWER on v5e,
-    see its module docstring for numbers).
+    ``extract`` selects the pooling backend: "einsum" (default, chunked
+    lax.map over rois — the only path with a backward, so training
+    always uses it), "fused" (forward-only composed-tent Pallas kernel,
+    ops/pallas/fused_pool.py — 1.3-2.0x faster on v5e at the test
+    canvases, the single-TPU inference default via network.POOL_KERNEL
+    "auto"), or "pallas" (forward-only per-roi patch sampling kernel,
+    ops/pallas/roi_patch.py — parity oracle; measured SLOWER, see its
+    module docstring).
     """
     B, H, W, C = feat.shape
     P = pooled_size
@@ -690,6 +693,19 @@ def fused_offset_pool(
     M = margin_bins * S
     E = T + 2 * M
     rpi = rois_per_image
+
+    if extract == "fused":
+        # composed-tent whole-pool Pallas kernel (forward-only;
+        # offset_grad_mult is irrelevant — grad_scale is identity in
+        # the forward pass)
+        from sniper_tpu.ops.pallas.fused_pool import fused_pool_pallas
+
+        return fused_pool_pallas(
+            feat, rois, off_k, off_b, rois_per_image=rpi,
+            pooled_size=P, sample_per_part=S,
+            spatial_scale=spatial_scale, trans_std=trans_std,
+            margin_bins=margin_bins,
+        )
 
     if extract == "pallas":
         # forward-only Pallas sampling kernel (inference path): one

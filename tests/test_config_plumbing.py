@@ -73,6 +73,24 @@ def test_margin_bins_forwarded():
     assert get_model(load_config(YML, [])).head_margin_bins == 1
 
 
+def test_pool_kernel_forwarded():
+    """network.POOL_KERNEL reaches the detector; "auto" resolves to the
+    einsum path on the CPU test backend (the fused Pallas kernel is the
+    single-TPU resolution, exercised by bench.py on hardware)."""
+    assert get_model(load_config(YML, [
+        "network.POOL_KERNEL", "einsum"])).pool_kernel == "einsum"
+    assert get_model(load_config(YML, [
+        "network.POOL_KERNEL", "fused"])).pool_kernel == "fused"
+    auto = get_model(load_config(YML, [])).pool_kernel
+    expect = ("fused" if jax.default_backend() in ("tpu", "axon")
+              else "einsum")
+    assert auto == expect
+    # explicit multi-device inference always falls back to einsum (no
+    # sharding rule for the pallas_call under an auto-partitioned jit)
+    assert get_model(load_config(YML, [
+        "parallel.num_devices", "4"])).pool_kernel == "einsum"
+
+
 def test_ohem_wiring():
     """ENABLE_OHEM routes through total_loss and prunes soft rois."""
     from sniper_tpu.models.losses import total_loss

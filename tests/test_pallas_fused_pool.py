@@ -1,0 +1,116 @@
+"""Parity tests for the fused two-pass-pool Pallas kernels.
+
+fused_pool_pallas (ops/pallas/fused_pool.py, interpret mode on CPU)
+must match ops.deform.fused_offset_pool's einsum path — the same DCN
+sampling semantics (roi snapping, 0.1 min size, drop-out-of-bounds-
+from-count, clamp in-bounds) through extraction, pass-1 interior
+average, offset FC, and the offset-shifted stencil pooling. On CPU both
+paths compute in fp32; small differences remain from accumulation
+order (dense-dot vs tent-einsum), so tolerances are loose-ish but tight
+relative to the output scale.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sniper_tpu.ops.deform import fused_offset_pool
+from sniper_tpu.ops.pallas.fused_pool import fused_pool_pallas
+
+
+def _random_rois(rng, B, rpi, span=400):
+    R = B * rpi
+    rois = np.zeros((R, 5), np.float32)
+    rois[:, 0] = np.repeat(np.arange(B), rpi)
+    rois[:, 1] = rng.uniform(-40, span, R)
+    rois[:, 2] = rng.uniform(-40, span, R)
+    rois[:, 3] = rois[:, 1] + rng.uniform(3, span, R)
+    rois[:, 4] = rois[:, 2] + rng.uniform(3, span, R)
+    return rois
+
+
+def _params(rng, C, P=7):
+    off_k = jnp.asarray((rng.randn(P * P * C, P * P * 2) * 0.05)
+                        .astype(np.float32))
+    off_b = jnp.asarray((rng.randn(P * P * 2) * 0.1).astype(np.float32))
+    return off_k, off_b
+
+
+@pytest.mark.parametrize("margin_bins", [1, 2])
+def test_fused_pool_matches_einsum(rng, margin_bins):
+    B, H, W, C = 2, 20, 28, 8
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    rpi = 6
+    rois = jnp.asarray(_random_rois(rng, B, rpi))
+    off_k, off_b = _params(rng, C)
+
+    a = fused_offset_pool(feat, rois, off_k, off_b, rois_per_image=rpi,
+                          margin_bins=margin_bins, extract="einsum")
+    b = fused_pool_pallas(feat, rois, off_k, off_b, rois_per_image=rpi,
+                          margin_bins=margin_bins)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=3e-5, rtol=2e-4)
+
+
+def test_degenerate_and_offmap_rois(rng):
+    """Off-map rois pool to exactly zero (count semantics, off = off_b
+    path); sub-pixel rois stay finite and match."""
+    B, H, W, C = 1, 10, 12, 4
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    rois = jnp.asarray(np.array([
+        [0, -500, -500, -400, -400],     # fully off-map (negative side)
+        [0, 5000, 5000, 6000, 6000],     # fully off-map (positive side)
+        [0, 40, 40, 41, 41],             # sub-bin roi (0.1 min size)
+    ], np.float32))
+    off_k, off_b = _params(rng, C)
+    a = fused_offset_pool(feat, rois, off_k, off_b, rois_per_image=3,
+                          margin_bins=1, extract="einsum")
+    b = fused_pool_pallas(feat, rois, off_k, off_b, rois_per_image=3,
+                          margin_bins=1)
+    assert np.isfinite(np.asarray(b)).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=3e-5, rtol=2e-4)
+    assert np.abs(np.asarray(b)[:2]).max() == 0.0
+
+
+def test_rcnn_head_extract_fused_matches_einsum(rng):
+    """The head-level plumbing: RCNNHead(extract='fused') must produce
+    the same cls/bbox outputs as the einsum default (CPU f32)."""
+    import jax
+    from sniper_tpu.models.heads import RCNNHead
+
+    B, H, W, C = 2, 12, 16, 8
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    rpi = 4
+    rois = jnp.asarray(_random_rois(rng, B, rpi, span=200))
+    head = RCNNHead(num_classes=5, spatial_scale=1.0 / 16, fc_dim=32)
+    v = head.init(jax.random.PRNGKey(0), feat, rois)
+    # zeros-init offset FC predicts no shift; randomize to exercise the
+    # stencil path through both backends
+    v = jax.tree.map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 0.05),
+        v)
+    a_cls, a_box = head.apply(v, feat, rois, extract="einsum")
+    b_cls, b_box = head.apply(v, feat, rois, extract="fused")
+    np.testing.assert_allclose(np.asarray(a_cls), np.asarray(b_cls),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(a_box), np.asarray(b_box),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_nonzero_offsets_exercise_stencil(rng):
+    """Large FC weights push bins well off their undeformed windows —
+    the stencil path (py/px clamps, tent stacks) must still match."""
+    B, H, W, C = 2, 16, 16, 8
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    rpi = 4
+    rois = jnp.asarray(_random_rois(rng, B, rpi, span=220))
+    off_k = jnp.asarray((rng.randn(7 * 7 * C, 7 * 7 * 2) * 0.5)
+                        .astype(np.float32))
+    off_b = jnp.asarray((rng.randn(7 * 7 * 2) * 1.0).astype(np.float32))
+    a = fused_offset_pool(feat, rois, off_k, off_b, rois_per_image=rpi,
+                          margin_bins=1, extract="einsum")
+    b = fused_pool_pallas(feat, rois, off_k, off_b, rois_per_image=rpi,
+                          margin_bins=1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=5e-5, rtol=5e-4)
