@@ -200,18 +200,39 @@ def main():
         # must run the same count, so truncate to the global minimum
         steps_this_epoch = global_min_steps(len(loader))
         tracker = MetricTracker()
-        for batch in itertools.islice(
-            Prefetcher(iter(loader)), steps_this_epoch
-        ):
+        # Transfers are issued from the prefetch thread (shard_batch in
+        # the producer generator) so the host->device copy of batch N+1
+        # overlaps the device compute of step N, and metric scalars are
+        # only materialized at the log boundary — a per-step float()
+        # would block the host on step N before it could even dispatch
+        # batch N+1's transfer (measured 589.7 vs 285.4 ms/step through
+        # the relay, scripts/profile_transfer.py --sync_metrics).
+        # truncation happens BEFORE the Prefetcher so the producer
+        # thread exhausts and exits instead of parking forever on a
+        # full queue holding device-resident batches
+        staged = (
+            shard_batch(mesh, b)
+            for b in itertools.islice(iter(loader), steps_this_epoch)
+        )
+        pending: list = []
+
+        def _flush():
+            for m in pending:
+                tracker.update(
+                    jax.tree_util.tree_map(float, m), batch_size
+                )
+            pending.clear()
+
+        for batch in Prefetcher(staged):
             key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, shard_batch(mesh, batch), sub)
-            tracker.update(
-                jax.tree_util.tree_map(float, metrics), batch_size
-            )
+            state, metrics = step_fn(state, batch, sub)
+            pending.append(metrics)
             step += 1
             if step % 20 == 0:
+                _flush()
                 lr = float(schedule(step))
                 logger.info(tracker.format(epoch, step) + f"  lr={lr:.6f}")
+        _flush()
         save_checkpoint(f"{out_dir}/checkpoints", state, epoch + 1)
         logger.info(f"saved checkpoint epoch {epoch + 1}")
 

@@ -26,6 +26,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--chip", type=int, default=512)
+    ap.add_argument("--sparse_only", action="store_true")
+    ap.add_argument("--sync_metrics", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -98,11 +100,24 @@ def main():
 
     key = jax.random.PRNGKey(0)
     results = {}
-    for name, uint8, sparse in (
-        ("fp32", False, False),
-        ("uint8", True, False),
-        ("uint8_sparse", True, True),
-    ):
+    variants = (
+        ("fp32", False, False, False),
+        ("uint8", True, False, False),
+        ("uint8_sparse", True, True, False),
+        # main_train.py's shipped pipeline: transfers issued from a
+        # producer thread so the copy of batch N+1 overlaps step N
+        ("uint8_sparse_staged", True, True, True),
+    )
+    if args.sparse_only:
+        # one compile signature instead of three (each costs minutes
+        # through the relay): A/B just inline vs thread-staged transfer
+        variants = variants[2:]
+    if args.sync_metrics:
+        # the pre-round-2 main_train loop: float(metrics) EVERY step —
+        # blocks the host on step N before batch N+1's transfer even
+        # dispatches
+        variants = (("uint8_sparse_syncmetrics", True, True, False),)
+    for name, uint8, sparse, staged in variants:
         # compile for this input signature
         state, metrics = step(
             state, shard_batch(mesh, host_batch(uint8, sparse)), key
@@ -113,14 +128,42 @@ def main():
         best = 1e9
         for rep in range(3):
             batches = [host_batch(uint8, sparse) for _ in range(n)]
-            t0 = time.perf_counter()
-            for hb in batches:
-                key, sub = jax.random.split(key)
-                state, metrics = step(state, shard_batch(mesh, hb), sub)
+            if staged:
+                import queue
+                import threading
+
+                q: queue.Queue = queue.Queue(maxsize=2)
+
+                def _produce(bs=batches, q=q):
+                    for hb in bs:
+                        q.put(shard_batch(mesh, hb))
+                    q.put(None)
+
+                t = threading.Thread(target=_produce, daemon=True)
+                t0 = time.perf_counter()
+                t.start()
+                while True:
+                    db = q.get()
+                    if db is None:
+                        break
+                    key, sub = jax.random.split(key)
+                    state, metrics = step(state, db, sub)
+            else:
+                t0 = time.perf_counter()
+                for hb in batches:
+                    key, sub = jax.random.split(key)
+                    state, metrics = step(state, shard_batch(mesh, hb), sub)
+                    if args.sync_metrics:
+                        float(metrics["loss"])
             float(metrics["loss"])
             best = min(best, (time.perf_counter() - t0) / n)
         results[name] = round(best * 1e3, 1)
-    results["speedup"] = round(results["fp32"] / results["uint8_sparse"], 3)
+    if "fp32" in results:
+        results["speedup"] = round(
+            results["fp32"] / results["uint8_sparse"], 3)
+    if "uint8_sparse_staged" in results:
+        results["staging_speedup"] = round(
+            results["uint8_sparse"] / results["uint8_sparse_staged"], 3)
     print(json.dumps({"metric": "train_step_with_transfer_ms",
                       "batch": b, **results}))
 
