@@ -284,29 +284,64 @@ class COCOEvaluator:
             ious = ious_all[:, gorder]
 
             D, G = len(dts), len(gts)
-            matched = np.zeros((T, D), bool)
-            ignored = np.zeros((T, D), bool)
-            for t, thr in enumerate(IOU_THRS):
-                gtm = np.full(G, -1)
-                for d in range(D):
-                    best, best_iou = -1, min(thr, 1 - 1e-10)
-                    for g in range(G):
-                        if gtm[g] >= 0 and not crowd[gorder][g]:
-                            continue
-                        if best > -1 and not g_ig[best] and g_ig[g]:
-                            break  # real match found; rest are ignored gts
-                        if ious[d, g] < best_iou:
-                            continue
-                        best_iou = ious[d, g]
-                        best = g
-                    if best == -1:
-                        continue
-                    gtm[best] = d
-                    matched[t, d] = True
-                    ignored[t, d] = g_ig[best]
-                # unmatched dets outside the area range are ignored
-                out_rng = (dt_area < lo) | (dt_area > hi)
-                ignored[t] |= (~matched[t]) & out_rng
+            matched, ignored = _match_greedy(
+                ious, g_ig, crowd[gorder], IOU_THRS
+            )
+            # unmatched dets outside the area range are ignored
+            out_rng = (dt_area < lo) | (dt_area > hi)
+            ignored |= ~matched & out_rng[None, :]
             n_gt = int((~gt_ig0).sum())
             out.append((dt_scores, matched, ignored, n_gt))
         return out
+
+
+def _match_greedy(ious, g_ig, crowd, iou_thrs):
+    """Greedy pycocotools det<->gt matching, all IoU thresholds at once.
+
+    Vectorized form of the protocol's per-(threshold, det) scan over
+    gts (the reference's triple loop, vendored cocoeval.py evaluateImg;
+    previously a pure-Python triple loop here — the last scalar hot
+    spot of the eval path, minutes at 5k-image scale). Exact semantics
+    preserved:
+
+    - dets match in score order (rows of ``ious`` are pre-sorted),
+    - a det takes the LAST gt achieving the running max IoU (the scan
+      updates on ``iou >= best``, so ties go to the later gt),
+    - only gts still unmatched at this threshold are available, except
+      crowd gts which re-match freely,
+    - non-ignored gts are preferred: ignored gts (sorted last in
+      ``ious``' columns) are considered only when no real gt reaches
+      the threshold,
+    - the match threshold is min(thr, 1-1e-10).
+
+    ious [D, G] (gt columns sorted non-ignored first), g_ig [G] gt
+    ignore flags in that order, crowd [G] same order. Returns
+    (matched [T, D] bool, ignored [T, D] bool).
+    """
+    T = len(iou_thrs)
+    D, G = ious.shape
+    matched = np.zeros((T, D), bool)
+    ignored = np.zeros((T, D), bool)
+    if D == 0 or G == 0:
+        return matched, ignored
+    thr_eff = np.minimum(np.asarray(iou_thrs, np.float64), 1 - 1e-10)
+    gtm_open = np.ones((T, G), bool)  # gt still available per threshold
+    real = ~g_ig[None, :]
+    t_idx = np.arange(T)
+    for d in range(D):
+        iou_d = ious[d][None, :]                     # [1, G]
+        avail = gtm_open | crowd[None, :]
+        # stage 1: last-argmax over available non-ignored gts
+        v1 = np.where(avail & real, iou_d, -1.0)     # [T, G]
+        b1 = G - 1 - np.argmax(v1[:, ::-1], axis=1)
+        ok1 = v1[t_idx, b1] >= thr_eff
+        # stage 2: ignored gts, only where no real gt reached the bar
+        v2 = np.where(avail & ~real, iou_d, -1.0)
+        b2 = G - 1 - np.argmax(v2[:, ::-1], axis=1)
+        ok2 = ~ok1 & (v2[t_idx, b2] >= thr_eff)
+        best = np.where(ok1, b1, np.where(ok2, b2, 0))
+        hit = ok1 | ok2
+        gtm_open[t_idx[hit], best[hit]] = False
+        matched[hit, d] = True
+        ignored[hit, d] = g_ig[best[hit]]
+    return matched, ignored

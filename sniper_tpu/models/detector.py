@@ -54,10 +54,12 @@ class SNIPERDetector(nn.Module):
     # offsets measured on the overfit checkpoint peak at |trans|=0.32,
     # 4.4x below the margin-1 clamp (scripts/profile_margin.py)
     head_margin_bins: int = 1
-    # inference pooling backend for the 7x7 head (network.POOL_KERNEL,
-    # resolved by the registry): "einsum" or "fused" (composed-tent
-    # Pallas kernel, 1.3-2.0x faster on v5e). Training always pools via
-    # einsum — the Pallas kernel is forward-only.
+    # pooling backend for the 7x7 head (network.POOL_KERNEL, resolved
+    # by the registry): "einsum" or "fused" (composed-tent Pallas
+    # kernel + hand-written transposed-pool VJP, 1.3-2.0x faster on
+    # v5e). Applies to inference and training; the 14x14 mask-branch
+    # pool always uses einsum (its patches exceed the kernel's VMEM
+    # budget at the large canvas).
     pool_kernel: str = "einsum"
     dtype: Any = jnp.bfloat16
     # proposal op params. The TEST.* RPN keys drive the inference branch
@@ -174,9 +176,11 @@ class SNIPERDetector(nn.Module):
                 bbox_means=tuple(self.bbox_means),
             )
             rois_flat = jax.lax.stop_gradient(tgt.rois.reshape(-1, 5))
-            # roi_chunk=32: the train fwd+bwd optimum (profile_head_train)
+            # roi_chunk=32: the einsum-path train fwd+bwd optimum
+            # (profile_head_train); ignored by the fused Pallas backend
             cls_score, bbox_pred = head(roi_feat_map, rois_flat,
-                                        roi_chunk=32)
+                                        roi_chunk=32,
+                                        extract=self.pool_kernel)
             out = {
                 "rpn_cls_logits": rpn_cls_logits,  # [B,H,W,2,A]
                 "rpn_bbox_pred": rpn_bbox,         # [B,4A,H,W]

@@ -678,13 +678,13 @@ def fused_offset_pool(
     resnet_mx_101_e2e_mask.py mask symbol).
 
     ``extract`` selects the pooling backend: "einsum" (default, chunked
-    lax.map over rois — the only path with a backward, so training
-    always uses it), "fused" (forward-only composed-tent Pallas kernel,
-    ops/pallas/fused_pool.py — 1.3-2.0x faster on v5e at the test
-    canvases, the single-TPU inference default via network.POOL_KERNEL
-    "auto"), or "pallas" (forward-only per-roi patch sampling kernel,
-    ops/pallas/roi_patch.py — parity oracle; measured SLOWER, see its
-    module docstring).
+    lax.map over rois, differentiable via autodiff), "fused"
+    (composed-tent Pallas kernel with a hand-written transposed-pool
+    VJP, ops/pallas/fused_pool.py — 1.3-2.0x faster on v5e at the test
+    canvases, the single-TPU default for inference AND training via
+    network.POOL_KERNEL "auto"), or "pallas" (forward-only per-roi
+    patch sampling kernel, ops/pallas/roi_patch.py — parity oracle;
+    measured SLOWER, see its module docstring).
     """
     B, H, W, C = feat.shape
     P = pooled_size
@@ -695,16 +695,16 @@ def fused_offset_pool(
     rpi = rois_per_image
 
     if extract == "fused":
-        # composed-tent whole-pool Pallas kernel (forward-only;
-        # offset_grad_mult is irrelevant — grad_scale is identity in
-        # the forward pass)
-        from sniper_tpu.ops.pallas.fused_pool import fused_pool_pallas
+        # composed-tent whole-pool Pallas kernel with a hand-written
+        # transposed-pool VJP (ops/pallas/fused_pool.py) — usable on
+        # both the inference AND training paths
+        from sniper_tpu.ops.pallas.fused_pool import fused_pool_vjp
 
-        return fused_pool_pallas(
+        return fused_pool_vjp(
             feat, rois, off_k, off_b, rois_per_image=rpi,
             pooled_size=P, sample_per_part=S,
             spatial_scale=spatial_scale, trans_std=trans_std,
-            margin_bins=margin_bins,
+            margin_bins=margin_bins, offset_grad_mult=offset_grad_mult,
         )
 
     if extract == "pallas":

@@ -98,6 +98,85 @@ def test_rcnn_head_extract_fused_matches_einsum(rng):
                                atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("margin_bins", [1, 2])
+@pytest.mark.parametrize(
+    "fc_scale",
+    [0.0,     # zeros-init FC: every window start sits ON the tent kinks
+     0.01,    # small offsets, interior windows
+     0.1],    # large offsets: many window starts hit the clip rails
+)
+def test_vjp_grads_match_einsum_autodiff(rng, margin_bins, fc_scale):
+    """fused_pool_vjp's hand-written backward == jax autodiff of the
+    einsum path, for d(feat), d(off_k), d(off_b) — including the
+    subgradient conventions at the tent kinks (fc_scale=0 evaluates
+    every bin at integer window starts, where jnp.abs'(0)=+1 and
+    jnp.maximum ties split in half) and the zero-gradient clip rails
+    (fc_scale=0.1 pushes starts past the patch halo)."""
+    import jax
+    from sniper_tpu.ops.pallas.fused_pool import fused_pool_vjp
+
+    B, H, W, C = 2, 20, 28, 8
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    rpi = 6
+    rois = jnp.asarray(_random_rois(rng, B, rpi))
+    P = 7
+    off_k = jnp.asarray((rng.randn(P * P * C, 2 * P * P) * fc_scale)
+                        .astype(np.float32))
+    off_b = jnp.asarray((rng.randn(2 * P * P) * fc_scale)
+                        .astype(np.float32))
+    gct = jnp.asarray(rng.randn(B * rpi, P * P * C).astype(np.float32))
+
+    def loss(fn, feat, off_k, off_b):
+        out = fn(feat, rois, off_k, off_b, rois_per_image=rpi,
+                 margin_bins=margin_bins)
+        return jnp.sum(out * gct)
+
+    def ein(feat, rois, off_k, off_b, **kw):
+        return fused_offset_pool(feat, rois, off_k, off_b,
+                                 extract="einsum", **kw)
+
+    ge = jax.grad(lambda *a: loss(ein, *a), argnums=(0, 1, 2))(
+        feat, off_k, off_b)
+    gf = jax.grad(lambda *a: loss(fused_pool_vjp, *a), argnums=(0, 1, 2))(
+        feat, off_k, off_b)
+    for name, a, b in zip(("dfeat", "doff_k", "doff_b"), ge, gf):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 2e-5 * max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=tol, err_msg=name)
+
+
+def test_head_train_grads_fused_matches_einsum(rng):
+    """Head-level training plumbing: grads of a scalar loss wrt ALL head
+    params (offset FC, fc6/fc7, cls/bbox) agree between the einsum and
+    fused backends."""
+    import jax
+    from sniper_tpu.models.heads import RCNNHead
+
+    B, H, W, C = 2, 12, 16, 8
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    rpi = 4
+    rois = jnp.asarray(_random_rois(rng, B, rpi, span=200))
+    head = RCNNHead(num_classes=5, spatial_scale=1.0 / 16, fc_dim=32)
+    v = head.init(jax.random.PRNGKey(0), feat, rois)
+    v = jax.tree.map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 0.05),
+        v)
+
+    def loss(v, extract):
+        cls, box = head.apply(v, feat, rois, extract=extract)
+        return jnp.sum(jnp.tanh(cls)) + jnp.sum(box * box)
+
+    ge = jax.grad(loss)(v, "einsum")
+    gf = jax.grad(loss)(v, "fused")
+    flat_e, _ = jax.tree_util.tree_flatten_with_path(ge)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(gf)
+    for (pa, a), (_, b) in zip(flat_e, flat_f):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 5e-5 * max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=tol,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
 def test_nonzero_offsets_exercise_stencil(rng):
     """Large FC weights push bins well off their undeformed windows —
     the stencil path (py/px clamps, tent stacks) must still match."""
