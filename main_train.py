@@ -233,6 +233,30 @@ def main():
                 lr = float(schedule(step))
                 logger.info(tracker.format(epoch, step) + f"  lr={lr:.6f}")
         _flush()
+        # HEAD_MARGIN_BINS clamp telemetry (models/heads.RCNNHead): warn
+        # loudly if trained offsets approach/hit the stencil halo — a
+        # silent quality failure, not a crash (offsets clamp at
+        # margin_bins / (trans_std * P) = margin_bins / 0.7 for P=7)
+        em = tracker.means()
+        if "offset_max" in em:
+            margin = int(getattr(cfg.network, "HEAD_MARGIN_BINS", 1))
+            thr = margin / (0.1 * 7)
+            if em.get("offset_clamp_frac", 0.0) > 0 or \
+                    em["offset_max"] > 0.8 * thr:
+                logger.warning(
+                    f"epoch {epoch}: head offsets near/over the margin-"
+                    f"{margin} clamp (max |trans|={em['offset_max']:.3f}, "
+                    f"clamp={thr:.3f}, clamp_frac="
+                    f"{em.get('offset_clamp_frac', 0.0):.2e}) — raise "
+                    f"network.HEAD_MARGIN_BINS to {margin + 1}"
+                )
+            else:
+                logger.info(
+                    f"epoch {epoch}: offset telemetry max |trans|="
+                    f"{em['offset_max']:.3f} vs clamp {thr:.3f} "
+                    f"(margin {margin}), clamp_frac="
+                    f"{em.get('offset_clamp_frac', 0.0):.2e}"
+                )
         save_checkpoint(f"{out_dir}/checkpoints", state, epoch + 1)
         logger.info(f"saved checkpoint epoch {epoch + 1}")
 

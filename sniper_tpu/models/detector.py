@@ -178,9 +178,13 @@ class SNIPERDetector(nn.Module):
             rois_flat = jax.lax.stop_gradient(tgt.rois.reshape(-1, 5))
             # roi_chunk=32: the einsum-path train fwd+bwd optimum
             # (profile_head_train); ignored by the fused Pallas backend
+            # offset-clamp telemetry (HEAD_MARGIN_BINS halo monitoring)
+            # sows into 'intermediates'; the train step surfaces it as
+            # offset_max / offset_clamp_frac metrics
             cls_score, bbox_pred = head(roi_feat_map, rois_flat,
                                         roi_chunk=32,
-                                        extract=self.pool_kernel)
+                                        extract=self.pool_kernel,
+                                        sow_offset_stats=True)
             out = {
                 "rpn_cls_logits": rpn_cls_logits,  # [B,H,W,2,A]
                 "rpn_bbox_pred": rpn_bbox,         # [B,4A,H,W]

@@ -96,9 +96,20 @@ class RCNNHead(nn.Module):
 
     @nn.compact
     def __call__(self, roi_feat_map, rois, roi_chunk: int | None = None,
-                 extract: str = "einsum"):
+                 extract: str = "einsum", sow_offset_stats: bool = False):
         """roi_feat_map [B,H,W,256] fp32 (conv_new_1 output), rois [R,5].
         Returns (cls_score [R,num_classes], bbox_pred [R,4]).
+
+        ``sow_offset_stats`` sows 'offset_max' / 'offset_clamp_frac'
+        into the 'intermediates' collection (visible when the caller
+        applies with mutable=['intermediates']): the max |trans| the
+        offset FC produced and the fraction at/over the margin clamp
+        threshold margin_bins / (trans_std * P) — where EDGE bins hit
+        the patch rail (interior bins have more headroom, so this is a
+        conservative early warning). HEAD_MARGIN_BINS=1 is justified by
+        measured offsets staying far below the halo — this telemetry
+        detects silent clamping on real training runs (the clamp
+        degrades quality without any crash).
 
         ``extract`` picks the pooling backend (see
         ops.deform.fused_offset_pool): "fused" runs the forward-only
@@ -129,7 +140,7 @@ class RCNNHead(nn.Module):
         bbx = _Lin(self.fc_dim, 4, name="bbox_pred")
 
         if self.fused and contiguous:
-            return rcnn_head_fused(
+            out = rcnn_head_fused(
                 roi_feat_map, rois,
                 (offset.kernel, offset.bias, fc1.kernel, fc1.bias,
                  fc2.kernel, fc2.bias, cls.kernel, cls.bias,
@@ -140,7 +151,13 @@ class RCNNHead(nn.Module):
                 margin_bins=self.margin_bins,
                 roi_chunk=roi_chunk or 16,
                 extract=extract,
+                return_offset_stats=sow_offset_stats,
             )
+            if sow_offset_stats:
+                cls_score, bbox_pred, off = out
+                self._sow_offset_stats(off, trans_std=0.1)
+                return cls_score, bbox_pred
+            return out
 
         # general path: respects the rois' batch-index column
         offset_t = deformable_psroi_pool(
@@ -150,6 +167,9 @@ class RCNNHead(nn.Module):
         off = offset_t.reshape(rois.shape[0], -1) @ offset.kernel \
             + offset.bias
         off = grad_scale(off, self.offset_lr_mult)
+        if sow_offset_stats:
+            self._sow_offset_stats(jax.lax.stop_gradient(off),
+                                   trans_std=0.1)
         # reference reshape (-1, 2, 7, 7): plane 0 = y, plane 1 = x
         trans = off.reshape(-1, 2, P, P).transpose(0, 2, 3, 1)
         pooled = deformable_psroi_pool(
@@ -162,6 +182,17 @@ class RCNNHead(nn.Module):
         cls_score = h @ cls.kernel + cls.bias
         bbox_pred = h @ bbx.kernel + bbx.bias
         return cls_score, bbox_pred
+
+    def _sow_offset_stats(self, off, trans_std):
+        """off [R, 2*P*P] raw offset-FC output. The stencil pool clips
+        window shifts at margin_bins*S cells; in offset units (shift =
+        off * trans_std * P * S cells, roi-size-independent) that is
+        margin_bins / (trans_std * P)."""
+        thr = self.margin_bins / (trans_std * self.pooled_size)
+        ab = jnp.abs(off.astype(jnp.float32))
+        self.sow("intermediates", "offset_max", jnp.max(ab))
+        self.sow("intermediates", "offset_clamp_frac",
+                 jnp.mean((ab >= thr).astype(jnp.float32)))
 
 
 class MaskHead(nn.Module):

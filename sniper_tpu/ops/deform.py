@@ -655,6 +655,7 @@ def fused_offset_pool(
     roi_chunk: int = 64,
     offset_grad_mult: float = 0.01,
     extract: str = "einsum",
+    return_offset_stats: bool = False,
 ):
     """Two-pass deformable ROI pooling with ONE patch extraction.
 
@@ -685,6 +686,14 @@ def fused_offset_pool(
     network.POOL_KERNEL "auto"), or "pallas" (forward-only per-roi
     patch sampling kernel, ops/pallas/roi_patch.py — parity oracle;
     measured SLOWER, see its module docstring).
+
+    ``return_offset_stats``: also return the raw offset-FC output
+    [B*rpi, 2*P*P] fp32 (stop-gradiented) so callers can monitor how
+    close trained offsets get to the margin clamp — the stencil clips
+    window shifts at margin_bins / (trans_std * P) in offset units
+    regardless of roi size (the per-roi scale roi/sub is exactly P*S).
+    Essentially free: the FC output is already computed in-path on
+    every backend.
     """
     B, H, W, C = feat.shape
     P = pooled_size
@@ -705,6 +714,7 @@ def fused_offset_pool(
             pooled_size=P, sample_per_part=S,
             spatial_scale=spatial_scale, trans_std=trans_std,
             margin_bins=margin_bins, offset_grad_mult=offset_grad_mult,
+            return_offset_stats=return_offset_stats,
         )
 
     if extract == "pallas":
@@ -724,7 +734,11 @@ def fused_offset_pool(
         ctrans = off.reshape(B, rpi, 2, P, P).transpose(0, 1, 3, 4, 2)
         pooled = _stencil_pool(patch, cnt, geom, ctrans, P, S, M, E,
                                trans_std)
-        return pooled.reshape(B * rpi, P * P * C)
+        pooled = pooled.reshape(B * rpi, P * P * C)
+        if return_offset_stats:
+            return pooled, jax.lax.stop_gradient(
+                off.reshape(B * rpi, 2 * P * P).astype(jnp.float32))
+        return pooled
 
     chunk_b = max(1, roi_chunk // B)
     n_chunks = -(-rpi // chunk_b)
@@ -761,12 +775,23 @@ def fused_offset_pool(
 
         pooled = _stencil_pool(patch, cnt, geom, ctrans, P, S, M, E,
                                trans_std)
-        return pooled.reshape(B, chunk_b, P * P * C)
+        pooled = pooled.reshape(B, chunk_b, P * P * C)
+        if return_offset_stats:
+            return pooled, jax.lax.stop_gradient(
+                off.astype(jnp.float32))
+        return pooled
 
-    pooled = jax.lax.map(chunk_fn, rois_p)  # [n_chunks, B, chunk_b, PPC]
-    return jnp.moveaxis(pooled, 0, 1).reshape(
+    out = jax.lax.map(chunk_fn, rois_p)  # [n_chunks, B, chunk_b, ...]
+    pooled, off = out if return_offset_stats else (out, None)
+    pooled = jnp.moveaxis(pooled, 0, 1).reshape(
         B, n_chunks * chunk_b, P * P * C
     )[:, :rpi].reshape(B * rpi, P * P * C)
+    if return_offset_stats:
+        off = jnp.moveaxis(off, 0, 1).reshape(
+            B, n_chunks * chunk_b, 2 * P * P
+        )[:, :rpi].reshape(B * rpi, 2 * P * P)
+        return pooled, off
+    return pooled
 
 
 def rcnn_head_fused(
@@ -783,13 +808,16 @@ def rcnn_head_fused(
     roi_chunk: int = 64,
     offset_grad_mult: float = 0.01,
     extract: str = "einsum",
+    return_offset_stats: bool = False,
 ):
     """fused_offset_pool + the R-CNN FC stack.
 
     ``head_params`` is the tuple (offset_k, offset_b, fc1_k, fc1_b,
     fc2_k, fc2_b, cls_k, cls_b, bbox_k, bbox_b) of raw [in, out]/[out]
     arrays (the flax module holds them; see models/heads.RCNNHead).
-    Returns (cls_score [R, num_classes], bbox_pred [R, 4]), fp32.
+    Returns (cls_score [R, num_classes], bbox_pred [R, 4]), fp32 —
+    plus the raw offset-FC output [R, 2*P*P] when
+    ``return_offset_stats`` (see fused_offset_pool).
 
     The FCs run once over the full roi axis, OUTSIDE the pool's chunk
     loop — inside they'd run at M = chunk per step and re-stream the
@@ -802,10 +830,15 @@ def rcnn_head_fused(
         spatial_scale=spatial_scale, trans_std=trans_std,
         margin_bins=margin_bins, roi_chunk=roi_chunk,
         offset_grad_mult=offset_grad_mult, extract=extract,
+        return_offset_stats=return_offset_stats,
     )
+    pooled, off = pooled if return_offset_stats else (pooled, None)
     h = jax.nn.relu(pooled @ f1_k + f1_b)
     h = jax.nn.relu(h @ f2_k + f2_b)
-    return h @ c_k + c_b, h @ b_k + b_b
+    cls_score, bbox_pred = h @ c_k + c_b, h @ b_k + b_b
+    if return_offset_stats:
+        return cls_score, bbox_pred, off
+    return cls_score, bbox_pred
 
 
 def deformable_psroi_pool(

@@ -226,9 +226,10 @@ def _window_starts(pass1, off_k, off_b, roi_h, roi_w, sub_h, sub_w,
                    *, P, S, M, E, trans_std):
     """Offset FC + per-bin window starts, batched over all rois in XLA.
 
-    Returns (py, px, my, mx): the clipped [R, P*P] window starts pass B
-    stencils at, plus the not-clipped masks the backward needs (clip has
-    zero gradient at the rails)."""
+    Returns (py, px, my, mx, off): the clipped [R, P*P] window starts
+    pass B stencils at, the not-clipped masks the backward needs (clip
+    has zero gradient at the rails), and the raw offset-FC output
+    [R, 2*P*P] (clamp telemetry)."""
     R = pass1.shape[0]
     off = (pass1.reshape(R, -1) @ off_k.astype(jnp.float32)
            + off_b.astype(jnp.float32))                 # [R, 2*P*P]
@@ -244,13 +245,14 @@ def _window_starts(pass1, off_k, off_b, roi_h, roi_w, sub_h, sub_w,
     px = jnp.clip(raw_x, 0.0, hi)
     my = ((raw_y > 0.0) & (raw_y < hi)).astype(jnp.float32)
     mx = ((raw_x > 0.0) & (raw_x < hi)).astype(jnp.float32)
-    return py, px, my, mx
+    return py, px, my, mx, off
 
 
 def _forward_parts(feat, rois, off_k, off_b, *, rpi, P, S, spatial_scale,
                    trans_std, margin_bins, interpret):
     """Shared forward body. Returns (pooled [R, P*P*C], pass1
-    [R, P*P, C]) — pass1 is the offset-FC input the VJP saves."""
+    [R, P*P, C], off [R, 2*P*P]) — pass1 is the offset-FC input the
+    VJP saves; off is the raw FC output (clamp telemetry)."""
     from sniper_tpu.ops.deform import _mm_dtype, _roi_geom
 
     B, H, W, C = feat.shape
@@ -282,7 +284,7 @@ def _forward_parts(feat, rois, off_k, off_b, *, rpi, P, S, spatial_scale,
     # pass A: undeformed interior average
     pass1 = call(jnp.asarray(ay), jnp.asarray(ax), mode="avg")
 
-    py, px, _, _ = _window_starts(
+    py, px, _, _, off = _window_starts(
         pass1, off_k, off_b, roi_h, roi_w, sub_h, sub_w,
         P=P, S=S, M=M, E=E, trans_std=trans_std,
     )
@@ -290,7 +292,7 @@ def _forward_parts(feat, rois, off_k, off_b, *, rpi, P, S, spatial_scale,
     # pass B: offset-shifted stencil pooling
     pooled = call(py.astype(jnp.float32), px.astype(jnp.float32),
                   mode="stencil")
-    return pooled.reshape(R, P * P * C), pass1
+    return pooled.reshape(R, P * P * C), pass1, off
 
 
 @functools.partial(
@@ -318,7 +320,7 @@ def fused_pool_pallas(
     [B*rpi, P*P*C] fp32 — same contract as ops.deform.fused_offset_pool
     (parity-tested in tests/test_pallas_fused_pool.py). Forward only;
     training goes through fused_pool_vjp."""
-    pooled, _ = _forward_parts(
+    pooled, _, _ = _forward_parts(
         feat, rois, off_k, off_b, rpi=rois_per_image, P=pooled_size,
         S=sample_per_part, spatial_scale=spatial_scale,
         trans_std=trans_std, margin_bins=margin_bins, interpret=interpret,
@@ -515,8 +517,12 @@ def _bwd_call(featt, geom, bins, g, *, mode, P, S, M, E, H, C, md, rpi,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_pool_vjp(rpi, P, S, spatial_scale, trans_std, margin_bins,
-                         offset_grad_mult, interpret):
-    """custom_vjp-wrapped fused pool, specialized per static config."""
+                         offset_grad_mult, interpret, with_off):
+    """custom_vjp-wrapped fused pool, specialized per static config.
+
+    with_off=True additionally returns the raw offset-FC output
+    [R, 2*P*P] (stop-gradient semantics: its cotangent is ignored) for
+    margin-clamp telemetry."""
 
     statics = dict(rpi=rpi, P=P, S=S, spatial_scale=spatial_scale,
                    trans_std=trans_std, margin_bins=margin_bins,
@@ -524,16 +530,20 @@ def _make_fused_pool_vjp(rpi, P, S, spatial_scale, trans_std, margin_bins,
 
     @jax.custom_vjp
     def pool(feat, rois, off_k, off_b):
-        pooled, _ = _forward_parts(feat, rois, off_k, off_b, **statics)
-        return pooled
+        pooled, _, off = _forward_parts(feat, rois, off_k, off_b, **statics)
+        return (pooled, off) if with_off else pooled
 
     def fwd(feat, rois, off_k, off_b):
-        pooled, pass1 = _forward_parts(feat, rois, off_k, off_b, **statics)
-        return pooled, (feat, rois, off_k, off_b, pass1)
+        pooled, pass1, off = _forward_parts(feat, rois, off_k, off_b,
+                                            **statics)
+        out = (pooled, off) if with_off else pooled
+        return out, (feat, rois, off_k, off_b, pass1)
 
     def bwd(res, gout):
         from sniper_tpu.ops.deform import _mm_dtype, _roi_geom
 
+        if with_off:  # the off output is telemetry — cotangent dropped
+            gout = gout[0]
         feat, rois, off_k, off_b, pass1 = res
         B, H, W, C = feat.shape
         T = P * S
@@ -554,7 +564,7 @@ def _make_fused_pool_vjp(rpi, P, S, spatial_scale, trans_std, margin_bins,
             axis=-1,
         ).astype(jnp.float32).reshape(R, 4)
 
-        py, px, my, mx = _window_starts(
+        py, px, my, mx, _ = _window_starts(
             pass1, off_k, off_b, roi_h, roi_w, sub_h, sub_w,
             P=P, S=S, M=M, E=E, trans_std=trans_std,
         )
@@ -610,14 +620,22 @@ def fused_pool_vjp(
     margin_bins: int = 1,
     offset_grad_mult: float = 0.01,
     interpret: bool | None = None,
+    return_offset_stats: bool = False,
 ) -> jax.Array:
     """Differentiable fused pool: fused_pool_pallas's forward plus the
     hand-written transposed-pool backward (grad parity vs the einsum
     path's autodiff tested in tests/test_pallas_fused_pool.py). This is
     what training pools through when network.POOL_KERNEL resolves to
-    "fused"."""
+    "fused". With ``return_offset_stats`` also returns the raw
+    offset-FC output [R, 2*P*P] (no gradient flows through it) for
+    margin-clamp telemetry."""
     fn = _make_fused_pool_vjp(
         rois_per_image, pooled_size, sample_per_part, spatial_scale,
         trans_std, margin_bins, offset_grad_mult, interpret,
+        return_offset_stats,
     )
-    return fn(feat, rois, off_k, off_b)
+    out = fn(feat, rois, off_k, off_b)
+    if return_offset_stats:
+        pooled, off = out
+        return pooled, jax.lax.stop_gradient(off)
+    return out

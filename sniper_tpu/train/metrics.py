@@ -22,12 +22,21 @@ class MetricTracker:
 
     def update(self, metrics: dict, n_samples: int = 0):
         for k, v in metrics.items():
-            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            # *_max metrics (e.g. the head's offset_max clamp telemetry)
+            # track the running MAX — a mean would hide a transient spike
+            # into the margin halo
+            if k.endswith("_max"):
+                self.sums[k] = max(self.sums.get(k, float("-inf")), float(v))
+            else:
+                self.sums[k] = self.sums.get(k, 0.0) + float(v)
         self.count += 1
         self._samples += n_samples
 
     def means(self) -> dict[str, float]:
-        return {k: v / max(self.count, 1) for k, v in self.sums.items()}
+        return {
+            k: (v if k.endswith("_max") else v / max(self.count, 1))
+            for k, v in self.sums.items()
+        }
 
     def speed(self) -> float:
         dt = time.time() - self._t0

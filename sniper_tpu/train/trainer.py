@@ -103,7 +103,8 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
             {"params": params, "batch_stats": batch_stats},
             data, batch["im_info"], batch["gt_boxes"],
             batch["valid_ranges"], gt_masks=batch.get("gt_masks"),
-            train=True, rngs={"sampling": key}, mutable=["batch_stats"],
+            train=True, rngs={"sampling": key},
+            mutable=["batch_stats", "intermediates"],
         )
         loss, metrics = total_loss(
             out, batch, batch_images=batch_images_global,
@@ -120,6 +121,14 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
             ).sum() / jnp.maximum(valid.sum(), 1)
             fg = labels > 0
             metrics["rcnn_fg_frac"] = fg.sum() / jnp.maximum(valid.sum(), 1)
+            # HEAD_MARGIN_BINS clamp telemetry sown by RCNNHead: max
+            # |trans| the offset FC produced and the fraction at/over
+            # the stencil's margin clamp (a silent quality failure if
+            # it ever becomes non-negligible on a real run)
+            rcnn_inter = mutated.get("intermediates", {}).get("rcnn", {})
+            for k in ("offset_max", "offset_clamp_frac"):
+                if k in rcnn_inter:
+                    metrics[k] = rcnn_inter[k][0]
         return loss, (metrics, mutated["batch_stats"])
 
     # NOTE: no in-graph with_sharding_constraint — the committed input

@@ -177,6 +177,51 @@ def test_head_train_grads_fused_matches_einsum(rng):
                                    err_msg=jax.tree_util.keystr(pa))
 
 
+def test_offset_stats_parity_and_clamp_math(rng):
+    """return_offset_stats: the raw offset-FC output agrees between the
+    einsum path and the fused Pallas VJP path, and the documented clamp
+    threshold (margin_bins / (trans_std * P)) matches where the stencil
+    actually stops responding to larger offsets."""
+    from sniper_tpu.ops.pallas.fused_pool import fused_pool_vjp
+
+    B, H, W, C = 2, 16, 20, 8
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    rpi = 4
+    rois = jnp.asarray(_random_rois(rng, B, rpi, span=250))
+    off_k, off_b = _params(rng, C)
+
+    pe, oe = fused_offset_pool(feat, rois, off_k, off_b,
+                               rois_per_image=rpi, margin_bins=1,
+                               return_offset_stats=True)
+    pf, of = fused_pool_vjp(feat, rois, off_k, off_b,
+                            rois_per_image=rpi, margin_bins=1,
+                            return_offset_stats=True)
+    np.testing.assert_allclose(np.asarray(oe), np.asarray(of),
+                               atol=1e-4, rtol=1e-3)
+    tol = 1e-4 * max(float(np.abs(np.asarray(pe)).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(pe), np.asarray(pf), atol=tol)
+
+    # clamp math: the telemetry threshold margin_bins/(trans_std*P) is
+    # where EDGE bins hit the patch rail (interior bins have more
+    # headroom, so the threshold is a conservative early warning). For
+    # bin 0 (corner bin at the lower rail), an offset at -1.5x the
+    # threshold pools identically to one at exactly -1x (both rails),
+    # while -0.5x differs.
+    thr = 1 / (0.1 * 7)  # margin_bins=1, trans_std=0.1, P=7
+    ck = jnp.zeros_like(off_k)
+
+    def pool_bin0(v):
+        cb = jnp.full_like(off_b, v)
+        out = np.asarray(fused_offset_pool(
+            feat, rois, ck, cb, rois_per_image=rpi, margin_bins=1))
+        return out.reshape(B * rpi, 49, C)[:, 0]
+
+    at_thr, over, under = pool_bin0(-thr), pool_bin0(-1.5 * thr), \
+        pool_bin0(-0.5 * thr)
+    np.testing.assert_allclose(at_thr, over, atol=1e-5)
+    assert np.abs(at_thr - under).max() > 1e-3
+
+
 def test_nonzero_offsets_exercise_stencil(rng):
     """Large FC weights push bins well off their undeformed windows —
     the stencil path (py/px clamps, tent stacks) must still match."""

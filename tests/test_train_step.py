@@ -75,8 +75,12 @@ def test_train_step_runs_and_updates(setup):
     p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.params)
     state1, metrics = step(state, sharded, jax.random.PRNGKey(0))
     assert int(state1.step) == 1
-    for k in ("loss", "rpn_cls_loss", "rcnn_cls_loss", "rcnn_acc"):
+    for k in ("loss", "rpn_cls_loss", "rcnn_cls_loss", "rcnn_acc",
+              "offset_max", "offset_clamp_frac"):
         assert np.isfinite(float(metrics[k])), k
+    # offset FC is zeros-init, so step-1 clamp telemetry reads exactly 0
+    assert float(metrics["offset_max"]) == 0.0
+    assert float(metrics["offset_clamp_frac"]) == 0.0
     # trainable params moved
     moved = jax.tree_util.tree_map(
         lambda a, b: float(np.abs(np.asarray(a) - b).max()), state1.params, p0
