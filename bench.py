@@ -13,6 +13,13 @@ batches of a round are dispatched before any output is fetched so
 device work overlaps the (relay-expensive) transfers, mirroring how the
 Tester drains batches. Prints one JSON line:
 {"metric", "value", "unit", "vs_baseline"}.
+
+The same line also carries the training-step numbers (train_step_ms /
+train_img_per_s / train_mfu — flagship R101, 16 chips of 512^2 per
+step, same workload as scripts/bench_train.py), so training perf
+regressions are machine-visible in BENCH_r*.json, not just in
+ARCHITECTURE.md quotes. The train section is best-effort: any failure
+is reported in a train_error field without losing the headline metric.
 """
 
 import json
@@ -194,12 +201,114 @@ def main(trunk: str = "r101"):
         "round_flops_T": round(total_flops / 1e12, 2),
         "pipeline_mfu": mfu,
     }), file=sys.stderr)
-    print(json.dumps({
+
+    result = {
         "metric": f"multiscale_inference_throughput_{trunk}",
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / 5.0, 3),
-    }))
+    }
+    if trunk == "r101":  # driver invocation: also capture training perf
+        try:
+            result.update(_bench_train_step(peak))
+        except Exception as e:  # noqa: BLE001 — keep the headline metric
+            result["train_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(result))
+
+
+def _bench_train_step(peak, b=16, chip=512):
+    """Flagship R101 train-step numbers for the driver bench line.
+
+    Same workload as scripts/bench_train.py: one jitted fwd+bwd+SGD
+    step over ``b`` synthetic 512^2 chips (the flagship TRAIN config's
+    batch), single chip. Returns the train_* fields merged into the
+    bench JSON. Runs AFTER the inference section so every smaller
+    program already exists (TPU-worker warmup-order constraint).
+    """
+    import sys
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sniper_tpu.config import default_config
+    from sniper_tpu.models.detector import SNIPERDetector
+    from sniper_tpu.parallel.mesh import make_mesh, shard_batch
+    from sniper_tpu.train.optimizer import make_optimizer
+    from sniper_tpu.train.trainer import create_train_state, make_train_step
+
+    A = 21
+    fh = fw = chip // 16
+    rng = np.random.RandomState(0)
+    gt = np.full((b, 100, 5), -1.0, np.float32)
+    gt[:, 0] = [40, 40, 200, 200, 2]
+    gt[:, 1] = [250, 250, 400, 420, 7]
+    batch = {
+        "data": rng.randn(b, chip, chip, 3).astype(np.float32),
+        "im_info": np.tile([[chip, chip, 1.0]], (b, 1)).astype(np.float32),
+        "gt_boxes": gt,
+        "valid_ranges": np.tile([[0.0, float(chip)]], (b, 1)).astype(
+            np.float32),
+        "label": rng.choice([-1.0, 0.0, 1.0], (b, A * fh * fw),
+                            p=[0.9, 0.08, 0.02]).astype(np.float32),
+        "bbox_target": (rng.randn(b, 4 * A, fh, fw) * 0.1).astype(np.float32),
+        "bbox_weight": np.zeros((b, 4 * A, fh, fw), np.float32),
+    }
+
+    cfg = default_config()
+    cfg.TRAIN.lr = 0.015
+    cfg.TRAIN.warmup = False
+    cfg.TRAIN.lr_step = ""
+    cfg.network.FIXED_PARAMS = ["conv0", "bn0", "stage1", "bn_data"]
+    model = SNIPERDetector(
+        num_classes=81, num_anchors=A,
+        anchor_scales=(2, 4, 7, 10, 13, 16, 24), anchor_ratios=(0.5, 1, 2),
+        units=(3, 4, 23, 3), dtype=jnp.bfloat16,
+        train_pre_nms=6000, train_post_nms=300, num_rois=300,
+        pool_kernel=(
+            "fused" if jax.default_backend() in ("tpu", "axon")
+            else "einsum"
+        ),
+    )
+    mesh = make_mesh(1)
+    state = create_train_state(model, cfg, batch, optax.sgd(0.1))
+    tx, _ = make_optimizer(cfg, epoch_size=1000, params=state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = make_train_step(model, tx, mesh, batch_images_per_device=b)
+
+    sharded = shard_batch(mesh, batch)
+    key = jax.random.PRNGKey(0)
+    print("train warmup ...", file=sys.stderr, flush=True)
+    state, metrics = step(state, sharded, key)  # compile
+    print(f"train warmup loss={float(metrics['loss']):.3f}",
+          file=sys.stderr, flush=True)
+
+    n = 6
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, sharded, sub)
+        float(metrics["loss"])  # force completion via a small host fetch
+        best = min(best, (time.perf_counter() - t0) / n)
+
+    out = {
+        "train_step_ms": round(best * 1e3, 1),
+        "train_img_per_s": round(b / best, 2),
+        "train_batch": b, "train_chip": chip,
+    }
+    try:
+        cost = step.lower(state, sharded, key).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0)) or None
+        if flops:
+            out["train_step_tflops"] = round(flops / 1e12, 2)
+            out["train_mfu"] = round(flops / best / (peak or 197e12), 4)
+    except Exception:
+        pass
+    return out
 
 
 if __name__ == "__main__":
