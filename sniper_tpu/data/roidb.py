@@ -21,6 +21,7 @@ data_workers.py:394 relies on it).
 
 from __future__ import annotations
 
+import os
 import pickle
 
 import numpy as np
@@ -105,29 +106,57 @@ def merge_gt_and_proposals(gt_roidb_entry, boxes, scores=None,
 
 
 def load_rpn_proposals(pkl_path, roidb, num_classes, nms_thresh=0.7,
-                       top_k=-1):
+                       top_k=-1, use_cache=True):
     """Attach RPN proposal boxes from a pickle (imdb.load_rpn_data,
     imdb.py:81-118): {'boxes': [per-image [N,5] xyxy+score]} or a list.
-    Proposals get NMS'd at 0.7 before merging."""
+    Proposals get NMS'd at 0.7 before merging.
+
+    The per-image NMS of a large proposal file is the expensive part
+    (the reference burns a Pool(32) on it and caches the result,
+    imdb.py:83-117); here the post-NMS dets are cached next to the
+    proposal pkl, keyed by the source file's (size, mtime) and the NMS
+    params, so re-runs skip straight to the merge."""
     with open(pkl_path, "rb") as f:
         data = pickle.load(f)
     box_list = data["boxes"] if isinstance(data, dict) else data
     assert len(box_list) >= len(roidb), "proposal file shorter than roidb"
+
+    st = os.stat(pkl_path)
+    cache_key = (int(st.st_size), int(st.st_mtime), float(nms_thresh),
+                 int(top_k), len(roidb))
+    cache_path = f"{pkl_path}.nms_{nms_thresh:g}.pkl"
+    nmsed = None
+    if use_cache and os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            cached = pickle.load(f)
+        if cached.get("key") == cache_key:
+            nmsed = cached["dets"]
+
+    if nmsed is None:
+        nmsed = []
+        for dets in box_list[:len(roidb)]:
+            dets = np.asarray(dets, dtype=np.float32)
+            if dets.ndim == 2 and dets.shape[0] and dets.shape[1] == 5:
+                keep = nms_np(dets, nms_thresh)
+                dets = dets[keep]
+            if top_k > 0 and dets.ndim == 2:
+                dets = dets[:top_k]
+            nmsed.append(dets)
+        if use_cache:
+            tmp = f"{cache_path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump({"key": cache_key, "dets": nmsed}, f)
+            os.replace(tmp, cache_path)
+
     out = []
-    for r, dets in zip(roidb, box_list):
-        dets = np.asarray(dets, dtype=np.float32)
+    for r, dets in zip(roidb, nmsed):
         if dets.ndim != 2 or dets.shape[0] == 0:
             out.append(dict(r))
             continue
         if dets.shape[1] == 5:
-            keep = nms_np(dets, nms_thresh)
-            dets = dets[keep]
             boxes, scores = dets[:, :4], dets[:, 4]
         else:
             boxes, scores = dets[:, :4], None
-        if top_k > 0:
-            boxes = boxes[:top_k]
-            scores = scores[:top_k] if scores is not None else None
         out.append(merge_gt_and_proposals(r, boxes, scores, num_classes))
     return out
 

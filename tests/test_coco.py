@@ -191,3 +191,62 @@ def test_evaluate_recall(coco_dir, tmp_path):
     bad = [np.array([[0, 0, 5, 5]], np.float32) for _ in roidb]
     stats2 = evaluate_recall(roidb, candidate_boxes=bad)
     assert stats2["ar"] == 0.0
+
+
+def test_load_rpn_proposals_nms_cache(coco_dir, tmp_path):
+    """The per-image NMS of a loaded proposal pkl is cached next to it
+    (reference imdb.py:83-117 Pool+pkl cache): a second load hits the
+    cache and returns identical merges; rewriting the pkl invalidates
+    the stale cache."""
+    import pickle
+    import time
+
+    from sniper_tpu.data.roidb import load_rpn_proposals
+
+    ds = COCODataset("tiny", str(tmp_path), coco_dir)
+    roidb = ds.gt_roidb(use_cache=False)
+    rng = np.random.RandomState(0)
+    n = 60
+
+    def write_pkl(seed):
+        r2 = np.random.RandomState(seed)
+        boxes = []
+        for _ in roidb:
+            # clustered boxes so the 0.7-IoU NMS really prunes
+            x1 = r2.uniform(0, 60, n)
+            y1 = r2.uniform(0, 50, n)
+            d = np.stack([x1, y1, x1 + r2.uniform(90, 120, n),
+                          y1 + r2.uniform(90, 120, n),
+                          r2.uniform(0, 1, n)], axis=1).astype(np.float32)
+            boxes.append(d)
+        p = str(tmp_path / "tiny_rpn.pkl")
+        with open(p, "wb") as f:
+            pickle.dump({"boxes": boxes}, f)
+        return p
+
+    pkl = write_pkl(1)
+    out1 = load_rpn_proposals(pkl, roidb, num_classes=3)
+    cache = f"{pkl}.nms_0.7.pkl"
+    assert os.path.exists(cache), "NMS cache must be written"
+    out2 = load_rpn_proposals(pkl, roidb, num_classes=3)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+    # NMS actually pruned something (cache isn't caching a no-op)
+    assert all(len(o["boxes"]) < n + len(r["boxes"])
+               for o, r in zip(out1, roidb))
+
+    # stale cache: rewrite the pkl with different proposals (force a
+    # different mtime) -> the merge must reflect the NEW proposals
+    time.sleep(0.02)
+    pkl = write_pkl(2)
+    os.utime(pkl, (time.time() + 5, time.time() + 5))
+    out3 = load_rpn_proposals(pkl, roidb, num_classes=3)
+    assert any(
+        a["boxes"].shape != c["boxes"].shape
+        or not np.array_equal(a["boxes"], c["boxes"])
+        for a, c in zip(out1, out3)
+    )
+    # uncached path agrees with the (freshly rebuilt) cached path
+    out4 = load_rpn_proposals(pkl, roidb, num_classes=3, use_cache=False)
+    for c, d in zip(out3, out4):
+        np.testing.assert_array_equal(c["boxes"], d["boxes"])
