@@ -92,6 +92,26 @@ def make_forward(model, variables, num_devices: int = 1, pixel_means=None):
     return forward
 
 
+def _scale_post_nms(cfg, s, model):
+    """Per-scale post-NMS roi count for test scale ``s``.
+
+    TEST.N_PROPOSAL_PER_SCALE is a dead scalar in the reference configs
+    (present in every yml at 300, never read by lib/); here a LIST value
+    gives it real per-scale semantics: the coarse, small-canvas scales
+    only keep large detections (TEST.VALID_RANGES filters the rest), so
+    they don't need the full 300 rois/img — the proposal+ROI-head work
+    is the canvas-independent floor that dominates small-canvas step
+    time (ARCHITECTURE.md round-2/3 perf notes). A scalar (reference
+    compat) keeps the global RPN_POST_NMS_TOP_N everywhere.
+    """
+    n = getattr(cfg.TEST, "N_PROPOSAL_PER_SCALE", None)
+    if isinstance(n, (list, tuple)) and len(n) > s:
+        return int(n[s])
+    # scalar/absent -> keep the model's global count (model may be None
+    # on a full USE_CACHE hit, where no forward ever runs)
+    return int(model.post_nms_top_n) if model is not None else 0
+
+
 def _test_num_devices(cfg):
     # explicit opt-in for multi-chip inference (unlike training, where
     # -1 means "all devices"): per-scale batches must divide the device
@@ -114,6 +134,17 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
     n_scales = len(cfg.TEST.SCALES)
     scale_dets, scale_masks = [], []
     for s in range(n_scales):
+        # per-scale post-NMS roi count (list-valued N_PROPOSAL_PER_SCALE)
+        post_nms = _scale_post_nms(cfg, s, model)
+        if model is not None and post_nms != model.post_nms_top_n:
+            tester_s = Tester(
+                make_forward(model.clone(post_nms_top_n=post_nms),
+                             variables, _test_num_devices(cfg),
+                             pixel_means=cfg.network.PIXEL_MEANS),
+                cfg, dataset.num_classes,
+            )
+        else:
+            tester_s = tester
         autofocus = bool(cfg.TEST.AUTO_FOCUS) and s < n_scales - 1
         do_pruning = (
             cfg.TEST.DO_PRUNING[s]
@@ -143,7 +174,7 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
                 if isinstance(cfg.TEST.BATCH_IMAGES, (list, tuple))
                 else cfg.TEST.BATCH_IMAGES,
             )
-            out = tester.get_detections(
+            out = tester_s.get_detections(
                 iter(batches), roidb, do_pruning=do_pruning,
                 autofocus=autofocus, with_masks=with_masks,
             )
