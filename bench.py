@@ -44,23 +44,36 @@ def main(trunk: str = "r101"):
         "x101": dict(trunk_type="resnext", units=(3, 4, 23, 3),
                      num_trunk_groups=32),
     }[trunk]
-    model = SNIPERDetector(
-        num_classes=81,
-        num_anchors=21,
-        anchor_scales=(2, 4, 7, 10, 13, 16, 24),
-        anchor_ratios=(0.5, 1, 2),
-        dtype=jnp.bfloat16,
-        pre_nms_top_n=6000,
-        post_nms_top_n=300,
-        # single-chip inference: the composed-tent Pallas pool (what
-        # network.POOL_KERNEL "auto" resolves to here; 1.3-2.0x the
-        # einsum path at these canvases)
-        pool_kernel=(
-            "fused" if jax.default_backend() in ("tpu", "axon")
-            else "einsum"
-        ),
-        **trunk_kw,
-    )
+    def make_model(post_nms):
+        return SNIPERDetector(
+            num_classes=81,
+            num_anchors=21,
+            anchor_scales=(2, 4, 7, 10, 13, 16, 24),
+            anchor_ratios=(0.5, 1, 2),
+            dtype=jnp.bfloat16,
+            pre_nms_top_n=6000,
+            post_nms_top_n=post_nms,
+            # single-chip inference: the composed-tent Pallas pool (what
+            # network.POOL_KERNEL "auto" resolves to here; 1.3-2.0x the
+            # einsum path at these canvases)
+            pool_kernel=(
+                "fused" if jax.default_backend() in ("tpu", "axon")
+                else "einsum"
+            ),
+            **trunk_kw,
+        )
+
+    # per-scale post-NMS roi counts (list-valued TEST.N_PROPOSAL_PER_SCALE
+    # in the flagship ymls): the coarse scales only KEEP large detections
+    # (TEST.VALID_RANGES), so they don't need the finest scale's 300
+    # rois/img — the canvas-independent proposal+head work is the
+    # small-canvas MFU floor (scripts/profile_roi_floor.py sweep: 300->100
+    # rois at 384x512 is ~82->60 ms/step, 300->200 at the mid canvas
+    # 201->185 ms; mAP-neutrality asserted on the real-data smoke set,
+    # tests/test_realdata_smoke.py)
+    post_nms_per_scale = [300, 200, 100]
+    models = [make_model(n) for n in post_nms_per_scale]
+    model = models[0]  # init template (params independent of roi count)
 
     im_w, im_h = 640, 480
     scale_specs = []
@@ -85,11 +98,16 @@ def main(trunk: str = "r101"):
     # would be embedded into the compile payload (HTTP 413 on the relay).
     # Outputs packed into one tensor: each host fetch costs a fixed
     # ~30ms relay round-trip, so 1 fetch/batch instead of 3.
-    @jax.jit
-    def fn(variables, data, im_info):
-        return pack_detections(
-            model.apply(variables, data, im_info, train=False)
-        )
+    def make_fn(m):
+        @jax.jit
+        def fn(variables, data, im_info):
+            return pack_detections(
+                m.apply(variables, data, im_info, train=False)
+            )
+
+        return fn
+
+    fns = [make_fn(m) for m in models]
 
     # Build device inputs + compile + warm up one scale at a time in
     # ASCENDING canvas size (forced completion via host fetch). Any other
@@ -110,7 +128,7 @@ def main(trunk: str = "r101"):
                 {"params": jax.random.PRNGKey(0)}, data, im_info, train=False
             )
         print(f"warmup {data.shape} ...", file=sys.stderr, flush=True)
-        out = fn(variables, data, im_info)
+        out = fns[i](variables, data, im_info)
         np.asarray(out)
         print(f"warmup {data.shape} done", file=sys.stderr, flush=True)
         inputs[i] = (data, im_info, b, s)
@@ -130,8 +148,8 @@ def main(trunk: str = "r101"):
 
     def dispatch_round():
         return [
-            (fn(variables, data, im_info), im_info, s)
-            for (data, im_info, b, s), rep in zip(inputs, reps)
+            (fn_i(variables, data, im_info), im_info, s)
+            for fn_i, (data, im_info, b, s), rep in zip(fns, inputs, reps)
             for _ in range(rep)
         ]
 
@@ -166,11 +184,13 @@ def main(trunk: str = "r101"):
     peak = next((v for k, v in peak_by_kind.items() if k in kind), None)
     per_scale = []
     total_flops = 0.0
-    for (data, im_info, b, s), rep in zip(inputs, reps):
+    for fn_i, post_nms, ((data, im_info, b, s), rep) in zip(
+            fns, post_nms_per_scale, zip(inputs, reps)):
         flops = None
         try:
-            # fn is already jitted: lower/compile hits the jit cache
-            cost = fn.lower(variables, data, im_info).compile().cost_analysis()
+            # fn_i is already jitted: lower/compile hits the jit cache
+            cost = fn_i.lower(variables, data,
+                              im_info).compile().cost_analysis()
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(cost.get("flops", 0.0)) or None
         except Exception:
@@ -178,10 +198,11 @@ def main(trunk: str = "r101"):
         t1 = time.perf_counter()
         n_iter = 4
         for _ in range(n_iter):
-            np.asarray(fn(variables, data, im_info))
+            np.asarray(fn_i(variables, data, im_info))
         step_s = (time.perf_counter() - t1) / n_iter
         entry = {
             "canvas": list(data.shape[1:3]), "batch": b,
+            "post_nms": post_nms,
             "step_ms": round(step_s * 1e3, 1),
             "img_per_s": round(b / step_s, 2),
         }

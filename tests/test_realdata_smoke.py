@@ -166,6 +166,36 @@ def test_real_image_overfit_ap_positive(tmp_path, monkeypatch, capsys):
     assert ap is not None and np.isfinite(ap)
     assert ap > 0.0, f"overfit on real images must yield AP > 0, got {ap}"
 
+    # per-scale roi-count mAP-neutrality (list-valued
+    # TEST.N_PROPOSAL_PER_SCALE, main_test._scale_post_nms): evaluating
+    # 2-scale with the coarse scale capped at 12 rois must score the
+    # same AP as the uncapped 2-scale run — the planted objects are
+    # found by the top handful of proposals either way
+    def eval_with(extra):
+        got = {}
+
+        def spy2(cfg, model, variables, roidb, dataset, out_dir):
+            out = orig(cfg, model, variables, roidb, dataset, out_dir)
+            got.update(out if isinstance(out, dict) else {})
+            return out
+
+        monkeypatch.setattr(main_test, "run_detection", spy2)
+        monkeypatch.setattr(sys, "argv", [
+            "main_test.py", "--cfg", cfg_path, "--set",
+            "TEST.SCALES", "[[-1, 256], [-1, 192]]",
+            "TEST.BATCH_IMAGES", "[2, 2]",
+            "TEST.VALID_RANGES", "[[-1, -1], [-1, -1]]",
+            "TEST.USE_CACHE", "[False, False]",
+            *extra,
+        ])
+        main_test.main()
+        return got["AP"]
+
+    ap_full = eval_with([])
+    ap_capped = eval_with(["TEST.N_PROPOSAL_PER_SCALE", "[32, 12]"])
+    assert ap_full > 0.0
+    assert abs(ap_full - ap_capped) < 0.02, (ap_full, ap_capped)
+
 
 @pytest.mark.skipif(not os.path.exists(DEMO), reason="demo.jpg unavailable")
 def test_demo_cli_writes_visualization(tmp_path, monkeypatch):
