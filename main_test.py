@@ -79,6 +79,39 @@ def make_forward(model, variables, num_devices: int = 1, pixel_means=None):
     mesh = make_mesh(num_devices)
     variables = replicate(mesh, variables)
 
+    if getattr(model, "pool_kernel", "") == "fused":
+        # a pallas_call has no sharding rule under the auto-partitioner,
+        # which is why registry's POOL_KERNEL "auto" falls back to the
+        # einsum pool for multi-device inference. An EXPLICIT
+        # POOL_KERNEL=fused keeps the 1.3-2x Pallas pool here instead:
+        # shard_map splits the batch over the mesh and runs the whole
+        # single-device program (Pallas kernel included) per shard, with
+        # replicated params. Parity vs single-device is tested on the
+        # virtual CPU mesh (tests/test_multichip_infer.py).
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        @jax.jit
+        def fn(variables, data, im_info):  # noqa: F811 — shard_map form
+            def shard(v, d, i):
+                if d.dtype == jnp.uint8:
+                    d = device_normalize(d, i, pixel_means)
+                out = dict(model.apply(v, d, i, train=False))
+                # rois carry a batch-index column; make it GLOBAL (each
+                # shard numbers its local images 0..b/n-1)
+                off = jax.lax.axis_index(axis) * d.shape[0]
+                out["rois"] = out["rois"].at[..., 0].add(
+                    jnp.asarray(off, out["rois"].dtype))
+                return out
+
+            return shard_map(
+                shard, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis)),
+                out_specs=P(axis), check_rep=False,
+            )(variables, data, im_info)
+
     def forward(data, im_info):
         if data.shape[0] % mesh.devices.size:
             raise ValueError(

@@ -20,6 +20,11 @@ def _pool_kernel(cfg):
     single TPU device; the einsum path on CPU or under explicit
     multi-device inference (parallel.num_devices > 1), where a
     pallas_call inside an auto-partitioned jit has no sharding rule.
+    An EXPLICIT network.POOL_KERNEL=fused + num_devices > 1 instead
+    selects main_test.make_forward's shard_map path, which runs the
+    whole single-device program (Pallas pool included) per shard —
+    parity-tested on the CPU mesh; auto stays conservative because the
+    shard_map lowering is unprofiled on real multi-chip hardware.
     """
     pool = str(getattr(cfg.network, "POOL_KERNEL", "auto"))
     if pool != "auto":

@@ -29,18 +29,34 @@ def _tiny_model():
     )
 
 
-def test_dp_forward_matches_single_device():
-    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mv():
+    """Shared (model, variables): each test compiling its own init was
+    the bulk of this file's 55s wall-clock."""
     model = _tiny_model()
     rng = np.random.RandomState(0)
-    data = jnp.asarray(rng.randn(4, H, W, 3).astype(np.float32))
-    im_info = jnp.asarray(np.tile([[H, W, 1.0]], (4, 1)).astype(np.float32))
+    data = jnp.asarray(rng.randn(2, H, W, 3).astype(np.float32))
+    im_info = jnp.asarray(np.tile([[H, W, 1.0]], (2, 1)).astype(np.float32))
     variables = model.init(
         {"params": jax.random.PRNGKey(0)}, data, im_info, train=False
     )
+    return model, variables
+
+
+def test_dp_forward_matches_single_device(mv):
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    model, variables = mv
+    rng = np.random.RandomState(0)
+    # 2 devices, not 8: same sharding semantics, 1/4 the emulated work
+    # (the 8-device path runs in the driver dryrun + slow mid-depth test)
+    data = jnp.asarray(rng.randn(4, H, W, 3).astype(np.float32))
+    im_info = jnp.asarray(np.tile([[H, W, 1.0]], (4, 1)).astype(np.float32))
 
     f1 = make_forward(model, variables, num_devices=1)
-    f4 = make_forward(model, variables, num_devices=4)
+    f4 = make_forward(model, variables, num_devices=2)
     o1 = f1(data, im_info)
     o4 = f4(data, im_info)
     assert set(o1) == set(o4)
@@ -51,14 +67,11 @@ def test_dp_forward_matches_single_device():
         )
 
 
-def test_dp_forward_rejects_indivisible_batch():
-    model = _tiny_model()
+def test_dp_forward_rejects_indivisible_batch(mv):
+    model, variables = mv
     rng = np.random.RandomState(1)
     data = jnp.asarray(rng.randn(3, H, W, 3).astype(np.float32))
     im_info = jnp.asarray(np.tile([[H, W, 1.0]], (3, 1)).astype(np.float32))
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)}, data, im_info, train=False
-    )
     fwd = make_forward(model, variables, num_devices=2)
     try:
         fwd(data, im_info)
@@ -75,23 +88,19 @@ def test_num_devices_requires_explicit_opt_in():
     assert _test_num_devices(cfg) == 4
 
 
-def test_dp_forward_uint8_matches_fp32():
+def test_dp_forward_uint8_matches_fp32(mv):
     """uint8 canvases through the DP forward (device_normalize inside
-    the jitted fn, batch sharded over 4 devices) must match the fp32
+    the jitted fn, batch sharded over 2 devices) must match the fp32
     host-normalized single-device forward."""
-    model = _tiny_model()
+    model, variables = mv
     rng = np.random.RandomState(2)
     means = (103.939, 116.779, 123.68)
     u8 = rng.randint(0, 255, (4, H, W, 3)).astype(np.uint8)
     # host-normalize the fp32 twin exactly like process_chip_image_rect
     f32 = u8.astype(np.float32) - np.asarray(means, np.float32)[::-1]
     im_info = jnp.asarray(np.tile([[H, W, 1.0]], (4, 1)).astype(np.float32))
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)}, jnp.asarray(f32), im_info,
-        train=False,
-    )
     f1 = make_forward(model, variables, num_devices=1)
-    f4 = make_forward(model, variables, num_devices=4, pixel_means=means)
+    f4 = make_forward(model, variables, num_devices=2, pixel_means=means)
     o1 = f1(jnp.asarray(f32), im_info)
     o4 = f4(jnp.asarray(u8), im_info)
     # XLA fuses the in-graph mean-subtract into the first conv, which
@@ -101,4 +110,30 @@ def test_dp_forward_uint8_matches_fp32():
         np.testing.assert_allclose(
             np.asarray(o1[k]), np.asarray(o4[k]), rtol=1e-3, atol=1e-2,
             err_msg=k,
+        )
+
+
+def test_dp_forward_fused_pool_shard_map_matches_single(mv):
+    """Explicit POOL_KERNEL=fused under multi-device inference: the
+    shard_map forward (which keeps the Pallas pool usable — no sharding
+    rule exists for pallas_call under the auto-partitioner) must match
+    the single-device fused forward. Runs the Pallas kernel in interpret
+    mode on the CPU mesh."""
+    _, variables = mv
+    model = SNIPERDetector(
+        num_classes=5, num_anchors=A, anchor_scales=(2, 4, 7),
+        anchor_ratios=(0.5, 1, 2), units=(1, 1, 1, 1),
+        pre_nms_top_n=64, post_nms_top_n=8, num_rois=8,
+        dtype=jnp.float32, pool_kernel="fused",
+    )
+    rng = np.random.RandomState(4)
+    data = jnp.asarray(rng.randn(4, H, W, 3).astype(np.float32))
+    im_info = jnp.asarray(np.tile([[H, W, 1.0]], (4, 1)).astype(np.float32))
+    f1 = make_forward(model, variables, num_devices=1)
+    f2 = make_forward(model, variables, num_devices=2)
+    o1 = f1(data, im_info)
+    o2 = f2(data, im_info)
+    for k in ("rois", "cls_prob", "bbox_pred", "roi_valid"):
+        np.testing.assert_allclose(
+            np.asarray(o1[k]), np.asarray(o2[k]), atol=1e-4, err_msg=k,
         )
