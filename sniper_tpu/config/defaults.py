@@ -153,6 +153,12 @@ def default_config() -> AttrDict:
     t.BBOX_WEIGHTS = np.array([1.0, 1.0, 1.0, 1.0])
     t.visualization_path = "debug/visualization"
     t.visualization_freq = 100
+    # opt-in switch for training-chip debug rendering (the reference's
+    # MNIteratorE2E.visualize is permanently commented out at its call
+    # site, MNIteratorE2E.py:218; here TRAIN.VISUALIZE=True renders
+    # every visualization_freq-th chip + its gt boxes to
+    # visualization_path — sniper_tpu addition)
+    t.VISUALIZE = False
     t.RPN_BATCH_SIZE = 256
     t.RPN_FG_FRACTION = 0.5
     t.RPN_POSITIVE_OVERLAP = 0.7

@@ -165,6 +165,15 @@ class ChipLoader:
             sparse=sparse_targets,
         )
         self.size = 0
+        self._epoch = 0
+        # training-chip debug rendering (reference MNIteratorE2E
+        # visualize, enabled here via TRAIN.VISUALIZE — see
+        # utils/visualization.save_training_chip)
+        self.vis_path = (
+            str(cfg.TRAIN.visualization_path)
+            if bool(getattr(cfg.TRAIN, "VISUALIZE", False)) else None
+        )
+        self.vis_freq = max(int(cfg.TRAIN.visualization_freq or 100), 1)
         self.num_workers = int(getattr(cfg.TRAIN, "NUM_THREAD", 1) or 1)
         self._pool = (
             ThreadPoolExecutor(max_workers=self.num_workers)
@@ -181,6 +190,7 @@ class ChipLoader:
         a Pool(NUM_PROCESS=64) on the same per-epoch re-roll,
         MNIteratorE2E.py:47-69)."""
         cfg = self.cfg
+        self._epoch += 1
         lo, hi = cfg.TRAIN.CHIP_STRIDE_RANGE
         stride = self.rng.randint(lo, hi)
         gen = ChipGenerator(chip_stride=stride, use_cpp=cfg.TRAIN.CPP_CHIPS,
@@ -251,7 +261,18 @@ class ChipLoader:
         """Assemble the training sample for schedule slot ``pos``."""
         im_idx, crop_id = self.schedule[pos]
         rng = np.random.RandomState((self._slot_seed + pos) % (2**31 - 1))
-        return self._build_sample(im_idx, crop_id, rng)
+        sample = self._build_sample(im_idx, crop_id, rng)
+        if self.vis_path is not None and pos % self.vis_freq == 0:
+            import os
+
+            from sniper_tpu.utils.visualization import save_training_chip
+
+            save_training_chip(
+                sample, self.cfg.network.PIXEL_MEANS,
+                os.path.join(self.vis_path,
+                             f"chip_e{self._epoch}_s{pos}.jpg"),
+            )
+        return sample
 
     def _build_sample(self, im_idx, crop_id, rng):
         """Pure sample assembly: imread -> chip crop/resize -> RPN targets."""

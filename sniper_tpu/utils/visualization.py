@@ -31,3 +31,36 @@ def draw_detections(im_rgb, all_cls_dets, class_names=None, threshold=0.5):
                 cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1, cv2.LINE_AA,
             )
     return out
+
+
+def save_training_chip(sample, pixel_means, path):
+    """Render one ChipLoader training sample: the chip with its gt boxes
+    (reference MNIteratorE2E.visualize, MNIteratorE2E.py:222-243 —
+    matplotlib there, cv2 here; enabled via TRAIN.VISUALIZE).
+
+    ``sample``: a ChipLoader._build_sample dict — uint8 RGB data (the
+    default path) is drawn as-is; fp32 data gets the pixel means added
+    back. gt_boxes rows are [x1, y1, x2, y2, class] with -1 padding.
+    """
+    import os
+
+    import cv2
+
+    data = np.asarray(sample["data"])
+    if data.dtype == np.uint8:
+        im = data.copy()
+    else:
+        im = np.clip(
+            data + np.asarray(pixel_means, np.float32), 0, 255
+        ).astype(np.uint8)
+    boxes = np.asarray(sample["gt_boxes"])
+    valid = boxes[:, 4] >= 0
+    for x1, y1, x2, y2, c in boxes[valid]:
+        cv2.rectangle(im, (int(x1), int(y1)), (int(x2), int(y2)),
+                      (0, 255, 0), 2)
+        cv2.putText(im, str(int(c)), (int(x1), max(int(y1) - 4, 10)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1,
+                    cv2.LINE_AA)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cv2.imwrite(path, cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
+    return path

@@ -287,3 +287,41 @@ def test_prefetcher_propagates_producer_errors():
 
     with pytest.raises(RuntimeError, match="decode failed"):
         list(Prefetcher(gen()))
+
+
+def test_training_chip_visualization(rng, tmp_path):
+    """TRAIN.VISUALIZE renders every visualization_freq-th schedule
+    slot's chip with its gt boxes to visualization_path (reference
+    MNIteratorE2E.visualize analog); boxes land inside the chip."""
+    import cv2
+
+    cfg = make_cfg()
+    cfg.TRAIN.VISUALIZE = True
+    cfg.TRAIN.visualization_path = str(tmp_path / "vis")
+    cfg.TRAIN.visualization_freq = 3
+    roidb = make_roidb(rng)
+    loader = ChipLoader(roidb, cfg, batch_size=2,
+                        image_loader=synth_image_loader)
+    loader.reset()
+    n = min(7, loader.size)
+    for pos in range(n):
+        loader._sample(pos)
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(str(tmp_path / "vis"), "*.jpg")))
+    # slots 0, 3, 6 -> 3 renders (epoch counter 1 after first reset)
+    assert len(files) == (n + 2) // 3, files
+    assert all("chip_e1_" in os.path.basename(f) for f in files)
+    im = cv2.imread(files[0])
+    assert im is not None and im.shape == (512, 512, 3)
+    # the green gt rectangles actually drew: green-dominant pixels exist
+    g = im[:, :, 1].astype(int) - im[:, :, [0, 2]].astype(int).max(axis=2)
+    assert (g > 100).sum() > 50, "expected drawn gt rectangles"
+
+    # off by default: no renders
+    cfg2 = make_cfg()
+    loader2 = ChipLoader(roidb, cfg2, batch_size=2,
+                         image_loader=synth_image_loader)
+    loader2.reset()
+    assert loader2.vis_path is None
