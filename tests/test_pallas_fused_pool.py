@@ -98,12 +98,14 @@ def test_rcnn_head_extract_fused_matches_einsum(rng):
                                atol=1e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("margin_bins", [1, 2])
 @pytest.mark.parametrize(
-    "fc_scale",
-    [0.0,     # zeros-init FC: every window start sits ON the tent kinks
-     0.01,    # small offsets, interior windows
-     0.1],    # large offsets: many window starts hit the clip rails
+    "fc_scale, margin_bins",
+    # fc_scale regimes at margin 1 (the default): zeros-init FC puts
+    # every window start ON the tent kinks (0.0), small offsets stay
+    # interior (0.01), large offsets hit the clip rails (0.1); one
+    # margin-2 case re-checks the halo arithmetic (the full 3x2 grid
+    # measured ~70s of the fast suite for no extra coverage).
+    [(0.0, 1), (0.01, 1), (0.1, 1), (0.01, 2)],
 )
 def test_vjp_grads_match_einsum_autodiff(rng, margin_bins, fc_scale):
     """fused_pool_vjp's hand-written backward == jax autodiff of the

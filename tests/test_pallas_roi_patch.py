@@ -12,6 +12,11 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# slow-marked: this kernel is a parity ORACLE for a measured-slower
+# alternative (roi_patch.py ships disabled); the shipped fused kernel's
+# parity runs in the fast set (test_pallas_fused_pool.py)
+pytestmark = pytest.mark.slow
+
 from sniper_tpu.ops.deform import (
     _extract_patch_batched,
     _extract_patches_pallas,
