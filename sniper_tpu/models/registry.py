@@ -31,7 +31,11 @@ def _pool_kernel(cfg):
         return pool
     import jax
 
-    multi = int(getattr(cfg.parallel, "num_devices", 1) or 1) > 1
+    n = int(getattr(cfg.parallel, "num_devices", 1) or 1)
+    # training resolves -1 to ALL devices (main_train.py), so a
+    # multi-chip host with the default -1 must count as multi here too —
+    # a pallas_call inside the auto-partitioned train jit would fail
+    multi = (len(jax.devices()) if n < 0 else n) > 1
     on_tpu = jax.default_backend() in ("tpu", "axon")
     return "fused" if on_tpu and not multi else "einsum"
 

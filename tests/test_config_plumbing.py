@@ -89,6 +89,13 @@ def test_pool_kernel_forwarded():
     # sharding rule for the pallas_call under an auto-partitioned jit)
     assert get_model(load_config(YML, [
         "parallel.num_devices", "4"])).pool_kernel == "einsum"
+    # num_devices = -1 means ALL devices (main_train resolves it so);
+    # on this multi-device backend (8 virtual CPU devices) "auto" must
+    # count it as multi, not single — a fused resolution would put a
+    # pallas_call inside the auto-partitioned train jit
+    assert len(jax.devices()) > 1
+    assert get_model(load_config(YML, [
+        "parallel.num_devices", "-1"])).pool_kernel == "einsum"
 
 
 def test_ohem_wiring():
