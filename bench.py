@@ -35,8 +35,8 @@ def main(trunk: str = "r101"):
     from sniper_tpu.models.detector import SNIPERDetector
     from sniper_tpu.ops.boxes import bbox_pred, clip_boxes
 
-    # driver runs `python bench.py` -> flagship R101; --trunk covers the
-    # other model families (scripts/bench_variants invokes these)
+    # driver runs `python bench.py` -> flagship R101; `python bench.py
+    # {r50,mnv2,x101}` covers the other model families
     trunk_kw = {
         "r101": dict(units=(3, 4, 23, 3)),
         "r50": dict(units=(3, 4, 6, 3)),

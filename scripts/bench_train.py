@@ -58,6 +58,12 @@ def main():
         anchor_scales=(2, 4, 7, 10, 13, 16, 24), anchor_ratios=(0.5, 1, 2),
         units=(3, 4, 23, 3), dtype=jnp.bfloat16,
         train_pre_nms=6000, train_post_nms=300, num_rois=300,
+        # the registry's "auto" resolution for single-TPU training: the
+        # fused Pallas pool + hand-written VJP (237 -> 173.8 ms/step)
+        pool_kernel=(
+            "fused" if jax.default_backend() in ("tpu", "axon")
+            else "einsum"
+        ),
     )
     mesh = make_mesh(1)
     state = create_train_state(model, cfg, batch, optax.sgd(0.1))
