@@ -1,0 +1,81 @@
+"""Per-scale batch-size re-sweep at the shipped per-scale roi counts.
+
+The [4, 8, 8] batches were tuned with 300 rois/img at every scale; the
+per-scale counts [300, 200, 100] lighten the head at the mid/small
+canvases, which can shift the optimum. Same-process A/B, ascending
+canvas order.
+
+  python scripts/profile_batch_sweep.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sniper_tpu.infer.tester import pack_detections
+    from sniper_tpu.models.detector import SNIPERDetector
+
+    # (canvas, post_nms, batches to try) — ascending canvas size
+    plan = [
+        ((384, 512), 100, [8, 16, 24]),
+        ((832, 1088), 200, [8, 12, 16]),
+        ((1408, 1920), 300, [4, 6, 8]),
+    ]
+    rng = np.random.RandomState(0)
+    variables = None
+
+    for (ch, cw), post_nms, batches in plan:
+        model = SNIPERDetector(
+            num_classes=81, num_anchors=21,
+            anchor_scales=(2, 4, 7, 10, 13, 16, 24),
+            anchor_ratios=(0.5, 1, 2), units=(3, 4, 23, 3),
+            dtype=jnp.bfloat16, pre_nms_top_n=6000,
+            post_nms_top_n=post_nms,
+            pool_kernel="fused" if jax.default_backend() in ("tpu", "axon")
+            else "einsum",
+        )
+
+        @jax.jit
+        def fn(variables, data, im_info):
+            return pack_detections(
+                model.apply(variables, data, im_info, train=False))
+
+        for b in batches:
+            data = jnp.asarray(rng.randn(b, ch, cw, 3).astype(np.float32))
+            im_info = jnp.asarray(
+                np.tile([[ch, cw, 1.0]], (b, 1)).astype(np.float32))
+            if variables is None:
+                variables = model.init({"params": jax.random.PRNGKey(0)},
+                                       data, im_info, train=False)
+            try:
+                np.asarray(fn(variables, data, im_info))
+                t0 = time.perf_counter()
+                it = 5
+                for _ in range(it):
+                    np.asarray(fn(variables, data, im_info))
+                dt = (time.perf_counter() - t0) / it
+                print(json.dumps({
+                    "canvas": [ch, cw], "post_nms": post_nms, "batch": b,
+                    "step_ms": round(dt * 1e3, 1),
+                    "img_per_s": round(b / dt, 2),
+                }), flush=True)
+            except Exception as e:
+                print(json.dumps({
+                    "canvas": [ch, cw], "batch": b,
+                    "error": f"{type(e).__name__}: {e}"[:200],
+                }), flush=True)
+                break  # larger batches of this canvas will also fail
+
+
+if __name__ == "__main__":
+    main()

@@ -101,9 +101,11 @@ def run(argv):
 
 
 def main():
-    from test_realdata_smoke import make_real_coco
-
     import pathlib
+
+    import main_train
+
+    from test_realdata_smoke import make_real_coco
 
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
         prefix="negchip_tpu_")
@@ -113,16 +115,21 @@ def main():
     cfg_path = write_cfg(str(tmp_path), end_epoch=3)
     props_dir = str(tmp_path / "props")
 
-    print("== phase 1: RPN-only training (TRAIN.ONLY_PROPOSAL) ==",
-          flush=True)
-    run(["main_train.py", "--cfg", cfg_path, "--set",
-         "TRAIN.ONLY_PROPOSAL", "True"])
+    # idempotent: a killed run resumes after the last completed phase
+    if glob.glob(os.path.join(props_dir, "*_rpn.pkl")):
+        print("== phases 1-2 artifacts present; skipping to phase 3 ==",
+              flush=True)
+    else:
+        print("== phase 1: RPN-only training (TRAIN.ONLY_PROPOSAL) ==",
+              flush=True)
+        run(["main_train.py", "--cfg", cfg_path, "--set",
+             "TRAIN.ONLY_PROPOSAL", "True"])
 
-    print("== phase 2: proposal extraction (TEST.EXTRACT_PROPOSALS) ==",
-          flush=True)
-    run(["main_test.py", "--cfg", cfg_path, "--set",
-         "TEST.EXTRACT_PROPOSALS", "True", "TRAIN.ONLY_PROPOSAL", "True",
-         "TEST.PROPOSAL_SAVE_PATH", props_dir])
+        print("== phase 2: proposal extraction (TEST.EXTRACT_PROPOSALS) ==",
+              flush=True)
+        run(["main_test.py", "--cfg", cfg_path, "--set",
+             "TEST.EXTRACT_PROPOSALS", "True", "TRAIN.ONLY_PROPOSAL", "True",
+             "TEST.PROPOSAL_SAVE_PATH", props_dir])
     pkls = glob.glob(os.path.join(props_dir, "*_rpn.pkl"))
     assert pkls, "phase 2 must write the proposal pkl"
     with open(pkls[0], "rb") as f:

@@ -20,6 +20,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound on the 1-core
+# CI box (a full train-step compile is ~90s); caching lowered programs
+# across runs makes re-runs minutes faster. Opt out with
+# SNIPER_TPU_NO_JIT_CACHE=1 (e.g. when timing cold compiles).
+if not os.environ.get("SNIPER_TPU_NO_JIT_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("SNIPER_TPU_JIT_CACHE",
+                       "/tmp/sniper_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -67,13 +67,22 @@ def setup():
     state0 = create_train_state(model, cfg, batch, optax.sgd(0.1))
     tx, sched = make_optimizer(cfg, epoch_size=100, params=state0.params)
     state = state0.replace(opt_state=tx.init(state0.params))
+    # Commit the state to an explicit replicated mesh sharding: the
+    # init state lives on one device while the step's output state
+    # carries mesh shardings, so without this every (fresh state,
+    # stepped state) signature pair recompiled the ~90s step.
+    # Replicated input reaches the in==out sharding fixpoint, so the
+    # module pays for exactly ONE fp32 compile.
+    replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    state = jax.device_put(state, replicated)
     # explicit zero means: synthetic fp32/uint8 batches, no mean shift
     step = make_train_step(model, tx, mesh, B_PER_DEV,
                            pixel_means=(0.0, 0.0, 0.0))
 
     def fresh_state():
         # the step donates its input state; hand each test its own copy
-        return jax.tree_util.tree_map(jnp.copy, state)
+        return jax.device_put(
+            jax.tree_util.tree_map(np.asarray, state), replicated)
 
     return mesh, model, fresh_state, step, batch, cfg
 
@@ -123,15 +132,27 @@ def test_train_step_two_steps_loss_finite(setup):
     state = fresh_state()
     sharded = shard_batch(mesh, batch)
     s, m1 = step(state, sharded, jax.random.PRNGKey(1))
+    # the chained call only hits the jit cache if the output state kept
+    # the replicated input sharding — assert it so a silent sharding
+    # drift shows up as a failure, not a 90s recompile
+    for leaf in jax.tree_util.tree_leaves(s.params):
+        assert leaf.sharding.is_equivalent_to(state.params["rpn"][
+            "rpn_conv_3x3"]["kernel"].sharding, leaf.ndim), leaf.sharding
     s, m2 = step(s, shard_batch(mesh, batch), jax.random.PRNGKey(2))
     assert np.isfinite(float(m2["loss"]))
     assert int(s.step) == 2
 
 
+@pytest.mark.slow
 def test_train_step_uint8_batch_matches_fp32(setup):
     """A uint8 batch + data_extent through the step must give exactly
     the fp32 loss (device_normalize with zero means / full extent is a
-    pure cast; masking bit-exactness is covered in test_loader)."""
+    pure cast; masking bit-exactness is covered in test_loader).
+
+    slow: the uint8 data dtype is a distinct jit signature, so this is
+    a second ~80s full train-step compile on the 1-core CI box; the
+    device_normalize bit-exactness itself is fast-covered in
+    test_loader."""
     mesh, model, fresh_state, step, batch, cfg = setup
     b = batch["data"].shape[0]
     u8 = dict(batch)
