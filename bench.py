@@ -27,6 +27,21 @@ import time
 
 import numpy as np
 
+# dense bf16 peak FLOP/s per chip (public specs) — shared with
+# scripts/bench_train.py so the MFU denominators can't drift
+PEAK_BF16_BY_KIND = {
+    "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+    "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def resolve_peak(device_kind: str, default=None):
+    return next(
+        (v for k, v in PEAK_BF16_BY_KIND.items() if k in device_kind),
+        default,
+    )
+
 
 def main(trunk: str = "r101"):
     import jax
@@ -175,13 +190,8 @@ def main(trunk: str = "r101"):
     # XLA's own cost analysis gives the per-program FLOPs; relating the
     # measured time to the chip's bf16 peak quantifies "fast" (13 img/s
     # is meaningless without knowing the ceiling).
-    peak_by_kind = {  # dense bf16 peak FLOP/s per chip (public specs)
-        "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
-        "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12,
-        "TPU v6e": 918e12,
-    }
     kind = jax.devices()[0].device_kind
-    peak = next((v for k, v in peak_by_kind.items() if k in kind), None)
+    peak = resolve_peak(kind)
     per_scale = []
     total_flops = 0.0
     for fn_i, post_nms, ((data, im_info, b, s), rep) in zip(

@@ -159,25 +159,31 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
     from sniper_tpu.infer.tester import Tester
 
     init_inference_crops(roidb)
-    forward = make_forward(model, variables, _test_num_devices(cfg),
-                           pixel_means=cfg.network.PIXEL_MEANS)
-    tester = Tester(forward, cfg, dataset.num_classes)
     with_masks = bool(getattr(model, "with_mask", False))
+    ndev = _test_num_devices(cfg)
+
+    # testers are built lazily per post-NMS count: a scale resumed from
+    # its dets_scale{s}.pkl cache never pays make_forward (which on a
+    # multi-device run replicates the full parameter set per device)
+    testers: dict = {}
+
+    def get_tester(post_nms):
+        if post_nms not in testers:
+            m = model
+            if post_nms != model.post_nms_top_n:
+                m = model.clone(post_nms_top_n=post_nms)
+            testers[post_nms] = Tester(
+                make_forward(m, variables, ndev,
+                             pixel_means=cfg.network.PIXEL_MEANS),
+                cfg, dataset.num_classes,
+            )
+        return testers[post_nms]
 
     n_scales = len(cfg.TEST.SCALES)
     scale_dets, scale_masks = [], []
     for s in range(n_scales):
         # per-scale post-NMS roi count (list-valued N_PROPOSAL_PER_SCALE)
         post_nms = _scale_post_nms(cfg, s, model)
-        if model is not None and post_nms != model.post_nms_top_n:
-            tester_s = Tester(
-                make_forward(model.clone(post_nms_top_n=post_nms),
-                             variables, _test_num_devices(cfg),
-                             pixel_means=cfg.network.PIXEL_MEANS),
-                cfg, dataset.num_classes,
-            )
-        else:
-            tester_s = tester
         autofocus = bool(cfg.TEST.AUTO_FOCUS) and s < n_scales - 1
         do_pruning = (
             cfg.TEST.DO_PRUNING[s]
@@ -201,6 +207,7 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
                 scale_masks.append(cached.get("masks"))
             print(f"scale {s}: loaded from cache {cache_file}")
         else:
+            tester_s = get_tester(post_nms)
             batches = TestChipIterator(
                 roidb, cfg, s,
                 cfg.TEST.BATCH_IMAGES[s]
@@ -225,6 +232,10 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
         if autofocus:
             add_chips(roidb, all_maps, s, cfg)
 
+    # aggregation is pure host-side NMS — it never calls forward_fn, so
+    # a fully cache-resumed run gets a forward-less Tester for free
+    tester = (next(iter(testers.values()))
+              if testers else Tester(None, cfg, dataset.num_classes))
     if with_masks:
         final, final_masks = tester.aggregate(
             scale_dets, len(roidb), scale_cls_masks=scale_masks,

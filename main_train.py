@@ -235,12 +235,13 @@ def main():
         _flush()
         # HEAD_MARGIN_BINS clamp telemetry (models/heads.RCNNHead): warn
         # loudly if trained offsets approach/hit the stencil halo — a
-        # silent quality failure, not a crash (offsets clamp at
-        # margin_bins / (trans_std * P) = margin_bins / 0.7 for P=7)
+        # silent quality failure, not a crash. The threshold is sown by
+        # the head itself (offset_clamp_thr) so this log agrees with
+        # the in-graph clamp_frac for any trans_std/pooled_size.
         em = tracker.means()
         if "offset_max" in em:
             margin = int(getattr(cfg.network, "HEAD_MARGIN_BINS", 1))
-            thr = margin / (0.1 * 7)
+            thr = em.get("offset_clamp_thr", margin / (0.1 * 7))
             if em.get("offset_clamp_frac", 0.0) > 0 or \
                     em["offset_max"] > 0.8 * thr:
                 logger.warning(

@@ -86,9 +86,6 @@ def run(argv):
     import main_test
     import main_train
 
-    class P:
-        pass
-
     old = sys.argv
     sys.argv = argv
     try:
@@ -164,10 +161,16 @@ def main():
     print(f"chips={n_chips} neg_chips/img={neg_counts}", flush=True)
     assert sum(neg_counts) > 0, "no neg chips mined from proposals"
 
+    import time
+
+    t3 = time.time()
     run(["main_train.py", "--cfg", cfg_path, "--set", *neg_overrides])
-    ckpts = glob.glob(str(tmp_path / "output" / "**" / "checkpoints"),
-                      recursive=True)
-    assert ckpts, "phase 3 must write checkpoints"
+    # phase 1 shares output_path, so bare existence would be satisfied
+    # by ITS checkpoints — require one written after phase 3 started
+    ckpts = [p for p in glob.glob(
+        str(tmp_path / "output" / "**" / "checkpoints" / "*"),
+        recursive=True) if os.path.getmtime(p) >= t3]
+    assert ckpts, "phase 3 must write its own checkpoints"
     print(f"== chain complete: workdir={workdir} "
           f"total_neg_chips={sum(neg_counts)} ==", flush=True)
 

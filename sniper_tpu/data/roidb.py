@@ -122,7 +122,10 @@ def load_rpn_proposals(pkl_path, roidb, num_classes, nms_thresh=0.7,
     assert len(box_list) >= len(roidb), "proposal file shorter than roidb"
 
     st = os.stat(pkl_path)
-    cache_key = (int(st.st_size), int(st.st_mtime), float(nms_thresh),
+    # mtime at ns resolution: a regenerated pkl is usually byte-identical
+    # in SIZE (same shapes, new values), and whole-second mtimes collide
+    # when the rewrite lands within the old file's second
+    cache_key = (int(st.st_size), int(st.st_mtime_ns), float(nms_thresh),
                  int(top_k), len(roidb))
     cache_path = f"{pkl_path}.nms_{nms_thresh:g}.pkl"
     nmsed = None

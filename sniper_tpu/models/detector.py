@@ -181,9 +181,15 @@ class SNIPERDetector(nn.Module):
             # offset-clamp telemetry (HEAD_MARGIN_BINS halo monitoring)
             # sows into 'intermediates'; the train step surfaces it as
             # offset_max / offset_clamp_frac metrics
+            # 'pallas' is the forward-only per-roi parity oracle
+            # (ops/deform.py) with no VJP — only 'fused' carries the
+            # hand-written backward, so train falls back to einsum
+            # rather than crash in jax.grad
+            train_extract = ("einsum" if self.pool_kernel == "pallas"
+                             else self.pool_kernel)
             cls_score, bbox_pred = head(roi_feat_map, rois_flat,
                                         roi_chunk=32,
-                                        extract=self.pool_kernel,
+                                        extract=train_extract,
                                         sow_offset_stats=True)
             out = {
                 "rpn_cls_logits": rpn_cls_logits,  # [B,H,W,2,A]

@@ -193,6 +193,10 @@ class RCNNHead(nn.Module):
         self.sow("intermediates", "offset_max", jnp.max(ab))
         self.sow("intermediates", "offset_clamp_frac",
                  jnp.mean((ab >= thr).astype(jnp.float32)))
+        # sow the threshold itself so downstream telemetry (epoch-end
+        # warnings in main_train) reads the model's actual clamp rather
+        # than re-deriving it from assumed trans_std/pooled_size
+        self.sow("intermediates", "offset_clamp_thr", jnp.float32(thr))
 
 
 class MaskHead(nn.Module):

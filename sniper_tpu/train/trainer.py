@@ -126,7 +126,8 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
             # the stencil's margin clamp (a silent quality failure if
             # it ever becomes non-negligible on a real run)
             rcnn_inter = mutated.get("intermediates", {}).get("rcnn", {})
-            for k in ("offset_max", "offset_clamp_frac"):
+            for k in ("offset_max", "offset_clamp_frac",
+                      "offset_clamp_thr"):
                 if k in rcnn_inter:
                     metrics[k] = rcnn_inter[k][0]
         return loss, (metrics, mutated["batch_stats"])

@@ -50,8 +50,11 @@ def save_training_chip(sample, pixel_means, path):
     if data.dtype == np.uint8:
         im = data.copy()
     else:
+        # fp32 chips are RGB with the BGR-ordered cfg PIXEL_MEANS
+        # subtracted reversed (loader._build_sample); undo with the
+        # same per-channel reversal or R/B get each other's mean
         im = np.clip(
-            data + np.asarray(pixel_means, np.float32), 0, 255
+            data + np.asarray(pixel_means, np.float32)[::-1], 0, 255
         ).astype(np.uint8)
     boxes = np.asarray(sample["gt_boxes"])
     valid = boxes[:, 4] >= 0

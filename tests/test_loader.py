@@ -325,3 +325,24 @@ def test_training_chip_visualization(rng, tmp_path):
                          image_loader=synth_image_loader)
     loader2.reset()
     assert loader2.vis_path is None
+
+
+def test_save_training_chip_fp32_reconstruction(tmp_path):
+    """fp32 chips carry RGB pixels with the BGR-ordered cfg PIXEL_MEANS
+    subtracted reversed (loader._build_sample); the debug render must
+    undo exactly that, or R/B each get the other's mean (~20/channel
+    tint)."""
+    import cv2
+
+    from sniper_tpu.utils.visualization import save_training_chip
+
+    pixel_means = [103.9, 116.8, 123.7]  # cfg convention: BGR order
+    r = np.random.RandomState(0)
+    rgb = r.randint(30, 220, (64, 64, 3)).astype(np.uint8)
+    norm = rgb.astype(np.float32) - np.asarray(
+        pixel_means, np.float32)[::-1]
+    sample = {"data": norm,
+              "gt_boxes": np.full((1, 5), -1.0, np.float32)}
+    p = save_training_chip(sample, pixel_means, str(tmp_path / "c.png"))
+    back = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+    np.testing.assert_allclose(back.astype(int), rgb.astype(int), atol=1)
