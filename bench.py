@@ -43,7 +43,7 @@ def resolve_peak(device_kind: str, default=None):
     )
 
 
-def main(trunk: str = "r101"):
+def main(trunk: str = "r101", batches=None, reps=None):
     import jax
     import jax.numpy as jnp
 
@@ -92,10 +92,13 @@ def main(trunk: str = "r101"):
 
     im_w, im_h = 640, 480
     scale_specs = []
-    # per-scale batch A/B on v5e (vs the reference's V100 [2,2,4]): the
-    # mid scale gains +24% img/s going 4 -> 8; the large canvas is
-    # batch-flat past 4; the small canvas peaks at 8 (b16 is slower)
-    for (lo, hi), b in zip([(1400, 2000), (800, 1280), (480, 512)], [4, 8, 8]):
+    # per-scale batches, finest -> coarsest (flagship ymls'
+    # TEST.BATCH_IMAGES): re-swept on v5e at the shipped per-scale roi
+    # counts (scripts/profile_batch_sweep.py) — the lighter 100/200-roi
+    # coarse scales moved their optima up from the 300-roi [4, 8, 8]
+    custom_batches = batches is not None
+    batches = batches or [4, 8, 8]
+    for (lo, hi), b in zip([(1400, 2000), (800, 1280), (480, 512)], batches):
         s = lo / min(im_w, im_h)
         if round(s * max(im_w, im_h)) > hi:
             s = hi / max(im_w, im_h)
@@ -154,12 +157,16 @@ def main(trunk: str = "r101"):
             boxes = bbox_pred(rois[i, :, 1:], deltas[i])
             clip_boxes(boxes, im_info_np[i][:2]) / s
 
-    # per round: 8 images through all three scales (2 batches of 4 at
-    # scale 0, 1 batch of 8 at scales 1/2). Rounds are
+    # per round: every image passes through all three scales, so each
+    # scale's batch*reps must agree (default: 8 images = 2 batches of 4
+    # at scale 0, 1 batch of 8 at scales 1/2). Rounds are
     # double-buffered — round N+1 is dispatched before round N's outputs
     # are fetched — so the fixed ~30ms/fetch relay cost overlaps device
     # compute, as it does in the streaming Tester.
-    reps = [2, 1, 1]
+    reps = reps or [2, 1, 1]
+    per_round = {b * r for b, r in zip(batches, reps)}
+    assert len(per_round) == 1, (batches, reps)
+    images_per_round = per_round.pop()
 
     def dispatch_round():
         return [
@@ -182,7 +189,7 @@ def main(trunk: str = "r101"):
         drain(pending)
         pending = nxt
     drain(pending)
-    images = n_rounds * 8
+    images = n_rounds * images_per_round
     dt = time.perf_counter() - t0
     ips = images / dt
 
@@ -239,7 +246,9 @@ def main(trunk: str = "r101"):
         "unit": "images/sec",
         "vs_baseline": round(ips / 5.0, 3),
     }
-    if trunk == "r101":  # driver invocation: also capture training perf
+    # driver invocation: also capture training perf (skipped on custom
+    # --batches A/B runs, which only compare the inference pipeline)
+    if trunk == "r101" and not custom_batches:
         try:
             result.update(_bench_train_step(peak))
         except Exception as e:  # noqa: BLE001 — keep the headline metric
@@ -348,4 +357,14 @@ if __name__ == "__main__":
     _p = argparse.ArgumentParser(description="multi-scale inference bench")
     _p.add_argument("trunk", nargs="?", default="r101",
                     choices=["r101", "r50", "mnv2", "x101"])
-    main(_p.parse_args().trunk)
+    _p.add_argument("--batches", default=None,
+                    help="per-scale batches finest->coarsest, e.g. 8,12,24"
+                         " (default: the flagship ymls' TEST.BATCH_IMAGES)")
+    _p.add_argument("--reps", default=None,
+                    help="batches per scale per round, e.g. 3,2,1; "
+                         "batch*reps must agree across scales")
+    _a = _p.parse_args()
+    main(_a.trunk,
+         batches=[int(x) for x in _a.batches.split(",")] if _a.batches
+         else None,
+         reps=[int(x) for x in _a.reps.split(",")] if _a.reps else None)

@@ -6,6 +6,14 @@ canvases, which can shift the optimum. Same-process A/B, ascending
 canvas order.
 
   python scripts/profile_batch_sweep.py
+
+VERDICT (v5e, 2026-08): synchronous per-scale optima DID move up
+(small b8 117.5 -> b16 178.5 img/s, mid b8 43.7 -> b12 48.6, large
+b4 23.1 -> b8 24.75), but the pipelined multi-scale round got slightly
+worse (bench.py --batches 8,8,16 = 19.47, 8,12,24 = 19.36 vs the
+shipped [4,8,8] = 19.67): the synchronous wins only amortize the fixed
+~30ms/call relay cost the double-buffered rounds already hide, while
+bigger batches lengthen the critical-path step. [4, 8, 8] stands.
 """
 
 import json
