@@ -258,6 +258,26 @@ def main():
                     f"(margin {margin}), clamp_frac="
                     f"{em.get('offset_clamp_frac', 0.0):.2e}"
                 )
+        # trunk DCN offset telemetry (models/resnet.sow_dcn_offset_stats):
+        # how far the learned C5 offsets actually reach, in feature px.
+        # This is the evidence for/against the bounded-window DCN fast
+        # path (network.DEFORM_WINDOW) being lossless on this model.
+        if "dcn_offset_max" in em:
+            msg = (f"epoch {epoch}: trunk DCN offsets max |off|="
+                   f"{em['dcn_offset_max']:.3f} feature px")
+            if "dcn_offset_clamp_frac" in em:
+                msg += (f", window clamp_frac="
+                        f"{em['dcn_offset_clamp_frac']:.2e}")
+                if em["dcn_offset_clamp_frac"] > 0:
+                    logger.warning(
+                        msg + " — offsets are being clamped; raise "
+                        "network.DEFORM_WINDOW or set it to 0 (exact "
+                        "gather path)"
+                    )
+                else:
+                    logger.info(msg)
+            else:
+                logger.info(msg)
         save_checkpoint(f"{out_dir}/checkpoints", state, epoch + 1)
         logger.info(f"saved checkpoint epoch {epoch + 1}")
 

@@ -21,11 +21,30 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sniper_tpu.ops.deform import deformable_conv
 
 BN_EPS = 2e-5
+
+
+def sow_dcn_offset_stats(mod, offsets, window: int = 0):
+    """Sow trunk DCN offset telemetry into 'intermediates'.
+
+    A no-op unless the collection is mutable (the train step makes it
+    so); the train loop surfaces the running max as dcn_offset_max so a
+    real run records how far learned C5 offsets actually reach — the
+    evidence that decides whether the bounded-window fast path
+    (network.DEFORM_WINDOW) is lossless for a given checkpoint.
+    """
+    ab = jnp.abs(jax.lax.stop_gradient(offsets.astype(jnp.float32)))
+    mod.sow("intermediates", "dcn_offset_max", jnp.max(ab))
+    if window:
+        mod.sow(
+            "intermediates", "dcn_offset_clamp_frac",
+            jnp.mean((ab >= float(window)).astype(jnp.float32)),
+        )
 
 
 class PreActBottleneck(nn.Module):
@@ -67,6 +86,7 @@ class PreActBottleneck(nn.Module):
                 kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
                 name="offset",
             )(act2.astype(jnp.float32))
+            sow_dcn_offset_stats(self, offsets)
             kernel = self.param(
                 "conv2_kernel",
                 nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),

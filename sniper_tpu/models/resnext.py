@@ -15,6 +15,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from sniper_tpu.models.resnet import sow_dcn_offset_stats
 from sniper_tpu.ops.deform import deformable_conv
 
 BN_EPS = 2e-5
@@ -51,6 +52,7 @@ class ResNeXtUnit(nn.Module):
                 kernel_init=nn.initializers.zeros,
                 bias_init=nn.initializers.zeros, name="offset",
             )(h.astype(jnp.float32))
+            sow_dcn_offset_stats(self, offsets)
             kernel = self.param(
                 "conv2_kernel",
                 nn.initializers.variance_scaling(2.0, "fan_out",

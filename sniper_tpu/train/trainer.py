@@ -19,6 +19,7 @@ auto-partitioning is the shipped path.)
 from __future__ import annotations
 
 import functools
+from collections.abc import Mapping
 from typing import Any
 
 import flax.struct
@@ -28,6 +29,18 @@ import optax
 from jax.sharding import Mesh
 
 from sniper_tpu.models.losses import total_loss
+
+
+def _collect_sown(tree, name):
+    """All values sown under ``name`` anywhere in an intermediates
+    tree (each sow stores a tuple of values per module path)."""
+    vals = []
+    for k, v in tree.items():
+        if k == name:
+            vals.extend(v)
+        elif isinstance(v, Mapping):
+            vals.extend(_collect_sown(v, name))
+    return vals
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -130,6 +143,18 @@ def make_train_step(model, tx, mesh: Mesh, batch_images_per_device: int,
                       "offset_clamp_thr"):
                 if k in rcnn_inter:
                     metrics[k] = rcnn_inter[k][0]
+        # trunk DCN offset telemetry (one sow per deformable unit,
+        # nested under the unit's module path — walk the whole tree)
+        dcn_max = _collect_sown(
+            mutated.get("intermediates", {}), "dcn_offset_max"
+        )
+        if dcn_max:
+            metrics["dcn_offset_max"] = jnp.max(jnp.stack(dcn_max))
+        dcn_cf = _collect_sown(
+            mutated.get("intermediates", {}), "dcn_offset_clamp_frac"
+        )
+        if dcn_cf:
+            metrics["dcn_offset_clamp_frac"] = jnp.mean(jnp.stack(dcn_cf))
         return loss, (metrics, mutated["batch_stats"])
 
     # NOTE: no in-graph with_sharding_constraint — the committed input

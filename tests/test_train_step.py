@@ -95,11 +95,13 @@ def test_train_step_runs_and_updates(setup):
     state1, metrics = step(state, sharded, jax.random.PRNGKey(0))
     assert int(state1.step) == 1
     for k in ("loss", "rpn_cls_loss", "rcnn_cls_loss", "rcnn_acc",
-              "offset_max", "offset_clamp_frac"):
+              "offset_max", "offset_clamp_frac", "dcn_offset_max"):
         assert np.isfinite(float(metrics[k])), k
     # offset FC is zeros-init, so step-1 clamp telemetry reads exactly 0
     assert float(metrics["offset_max"]) == 0.0
     assert float(metrics["offset_clamp_frac"]) == 0.0
+    # the trunk's DCN offset convs are zeros-init too
+    assert float(metrics["dcn_offset_max"]) == 0.0
     # trainable params moved
     moved = jax.tree_util.tree_map(
         lambda a, b: float(np.abs(np.asarray(a) - b).max()), state1.params, p0
