@@ -48,6 +48,7 @@ def main(trunk: str = "r101", batches=None, reps=None):
     import jax.numpy as jnp
 
     from sniper_tpu.models.detector import SNIPERDetector
+    from sniper_tpu.models.registry import default_pool_kernel
     from sniper_tpu.ops.boxes import bbox_pred, clip_boxes
 
     # driver runs `python bench.py` -> flagship R101; `python bench.py
@@ -71,34 +72,43 @@ def main(trunk: str = "r101", batches=None, reps=None):
             # single-chip inference: the composed-tent Pallas pool (what
             # network.POOL_KERNEL "auto" resolves to here; 1.3-2.0x the
             # einsum path at these canvases)
-            pool_kernel=(
-                "fused" if jax.default_backend() in ("tpu", "axon")
-                else "einsum"
-            ),
+            pool_kernel=default_pool_kernel(),
             **trunk_kw,
         )
 
-    # per-scale post-NMS roi counts (list-valued TEST.N_PROPOSAL_PER_SCALE
-    # in the flagship ymls): the coarse scales only KEEP large detections
-    # (TEST.VALID_RANGES), so they don't need the finest scale's 300
-    # rois/img — the canvas-independent proposal+head work is the
-    # small-canvas MFU floor (scripts/profile_roi_floor.py sweep: 300->100
-    # rois at 384x512 is ~82->60 ms/step, 300->200 at the mid canvas
-    # 201->185 ms; mAP-neutrality asserted on the real-data smoke set,
-    # tests/test_realdata_smoke.py)
+    # Per-scale settings come from the FLAGSHIP YML so the driver bench
+    # always measures the shipped configuration (a retune that edits the
+    # yml but not this file — or vice versa — would otherwise silently
+    # bench something else). Fallbacks keep bench.py standalone.
+    #   N_PROPOSAL_PER_SCALE: coarse scales only KEEP large detections
+    #   (TEST.VALID_RANGES), so they don't need the finest scale's 300
+    #   rois/img — the canvas-independent proposal+head work is the
+    #   small-canvas MFU floor (scripts/profile_roi_floor.py sweep).
+    #   BATCH_IMAGES: re-swept on v5e at the shipped per-scale roi
+    #   counts (scripts/profile_batch_sweep.py).
+    import os
+
     post_nms_per_scale = [300, 200, 100]
+    yml_batches = [4, 8, 8]
+    scale_ranges = [(1400, 2000), (800, 1280), (480, 512)]
+    yml = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "configs", "sniper_res101_e2e.yml")
+    if os.path.exists(yml):
+        from sniper_tpu.config import load_config
+
+        tcfg = load_config(yml).TEST
+        post_nms_per_scale = [int(x) for x in tcfg.N_PROPOSAL_PER_SCALE]
+        yml_batches = [int(x) for x in tcfg.BATCH_IMAGES]
+        scale_ranges = [(int(lo), int(hi)) for lo, hi in tcfg.SCALES]
+
     models = [make_model(n) for n in post_nms_per_scale]
     model = models[0]  # init template (params independent of roi count)
 
     im_w, im_h = 640, 480
     scale_specs = []
-    # per-scale batches, finest -> coarsest (flagship ymls'
-    # TEST.BATCH_IMAGES): re-swept on v5e at the shipped per-scale roi
-    # counts (scripts/profile_batch_sweep.py) — the lighter 100/200-roi
-    # coarse scales moved their optima up from the 300-roi [4, 8, 8]
     custom_batches = batches is not None
-    batches = batches or [4, 8, 8]
-    for (lo, hi), b in zip([(1400, 2000), (800, 1280), (480, 512)], batches):
+    batches = batches or yml_batches
+    for (lo, hi), b in zip(scale_ranges, batches):
         s = lo / min(im_w, im_h)
         if round(s * max(im_w, im_h)) > hi:
             s = hi / max(im_w, im_h)
@@ -163,7 +173,14 @@ def main(trunk: str = "r101", batches=None, reps=None):
     # double-buffered — round N+1 is dispatched before round N's outputs
     # are fetched — so the fixed ~30ms/fetch relay cost overlaps device
     # compute, as it does in the streaming Tester.
-    reps = reps or [2, 1, 1]
+    if reps is None:
+        # smallest images/round that every scale's batch divides
+        import math
+
+        lcm = 1
+        for b in batches:
+            lcm = lcm * b // math.gcd(lcm, b)
+        reps = [lcm // b for b in batches]
     per_round = {b * r for b, r in zip(batches, reps)}
     assert len(per_round) == 1, (batches, reps)
     images_per_round = per_round.pop()
@@ -274,6 +291,7 @@ def _bench_train_step(peak, b=16, chip=512):
 
     from sniper_tpu.config import default_config
     from sniper_tpu.models.detector import SNIPERDetector
+    from sniper_tpu.models.registry import default_pool_kernel
     from sniper_tpu.parallel.mesh import make_mesh, shard_batch
     from sniper_tpu.train.optimizer import make_optimizer
     from sniper_tpu.train.trainer import create_train_state, make_train_step
@@ -306,10 +324,7 @@ def _bench_train_step(peak, b=16, chip=512):
         anchor_scales=(2, 4, 7, 10, 13, 16, 24), anchor_ratios=(0.5, 1, 2),
         units=(3, 4, 23, 3), dtype=jnp.bfloat16,
         train_pre_nms=6000, train_post_nms=300, num_rois=300,
-        pool_kernel=(
-            "fused" if jax.default_backend() in ("tpu", "axon")
-            else "einsum"
-        ),
+        pool_kernel=default_pool_kernel(),
     )
     mesh = make_mesh(1)
     state = create_train_state(model, cfg, batch, optax.sgd(0.1))

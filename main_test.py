@@ -97,6 +97,11 @@ def make_forward(model, variables, num_devices: int = 1, pixel_means=None):
         def fn(variables, data, im_info):  # noqa: F811 — shard_map form
             def shard(v, d, i):
                 if d.dtype == jnp.uint8:
+                    if pixel_means is None:
+                        raise ValueError(
+                            "uint8 canvases but make_forward got no "
+                            "pixel_means — pass cfg.network.PIXEL_MEANS"
+                        )
                     d = device_normalize(d, i, pixel_means)
                 out = dict(model.apply(v, d, i, train=False))
                 # rois carry a batch-index column; make it GLOBAL (each
@@ -138,7 +143,16 @@ def _scale_post_nms(cfg, s, model):
     compat) keeps the global RPN_POST_NMS_TOP_N everywhere.
     """
     n = getattr(cfg.TEST, "N_PROPOSAL_PER_SCALE", None)
-    if isinstance(n, (list, tuple)) and len(n) > s:
+    if isinstance(n, (list, tuple)):
+        if len(n) <= s:
+            # falling back silently would give the COARSEST scale the
+            # model's global (largest) count — the inverse of the
+            # feature's finest->coarsest intent
+            raise ValueError(
+                f"TEST.N_PROPOSAL_PER_SCALE has {len(n)} entries but "
+                f"scale index {s} was requested — list it once per "
+                "TEST.SCALES entry (finest->coarsest)"
+            )
         return int(n[s])
     # scalar/absent -> keep the model's global count (model may be None
     # on a full USE_CACHE hit, where no forward ever runs)
@@ -222,12 +236,15 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
             if with_masks:
                 scale_masks.append(out[2])
             print(f"scale {s}: done")
-            with open(cache_file, "wb") as f:
+            # atomic: USE_CACHE treats existence as "scale done"
+            tmp = f"{cache_file}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 pickle.dump(
                     {"dets": all_boxes, "maps": all_maps,
                      "masks": out[2] if with_masks else None},
                     f,
                 )
+            os.replace(tmp, cache_file)
         scale_dets.append(all_boxes)
         if autofocus:
             add_chips(roidb, all_maps, s, cfg)
@@ -273,8 +290,13 @@ def run_proposal_extraction(cfg, model, variables, roidb, dataset, out_dir):
     os.makedirs(cfg.TEST.PROPOSAL_SAVE_PATH, exist_ok=True)
     out = os.path.join(cfg.TEST.PROPOSAL_SAVE_PATH,
                        f"{dataset.name}_rpn.pkl")
-    with open(out, "wb") as f:
+    # atomic: resume logic (scripts/run_negchip_smoke_tpu.py) treats
+    # bare existence as "phase 2 done", so a kill mid-write must not
+    # leave a truncated pkl behind
+    tmp = f"{out}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         pickle.dump({"boxes": agg_boxes}, f)
+    os.replace(tmp, out)
     print(f"saved proposals to {out}")
 
 

@@ -140,14 +140,14 @@ def main():
     import jax.numpy as jnp
 
     from sniper_tpu.models.detector import SNIPERDetector
+    from sniper_tpu.models.registry import default_pool_kernel
 
     model = SNIPERDetector(
         num_classes=81, num_anchors=21,
         anchor_scales=(2, 4, 7, 10, 13, 16, 24), anchor_ratios=(0.5, 1, 2),
         units=(3, 4, 23, 3), dtype=jnp.bfloat16,
         pre_nms_top_n=6000, post_nms_top_n=300, autofocus=True,
-        pool_kernel=("fused" if jax.default_backend() in ("tpu", "axon")
-                     else "einsum"),
+        pool_kernel=default_pool_kernel(),
     )
     cfg = make_cfg()
     data0 = jnp.zeros((1, 512, 512, 3), jnp.float32)

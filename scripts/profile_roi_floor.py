@@ -26,6 +26,7 @@ def main():
 
     from sniper_tpu.infer.tester import pack_detections
     from sniper_tpu.models.detector import SNIPERDetector
+    from sniper_tpu.models.registry import default_pool_kernel
 
     canvases = [(384, 512, 8), (832, 1088, 8), (1408, 1920, 4)]
     counts = [300, 200, 150, 100, 64]
@@ -38,8 +39,7 @@ def main():
             anchor_ratios=(0.5, 1, 2), units=(3, 4, 23, 3),
             dtype=jnp.bfloat16, pre_nms_top_n=6000,
             post_nms_top_n=post_nms,
-            pool_kernel="fused" if jax.default_backend() in ("tpu", "axon")
-            else "einsum",
+            pool_kernel=default_pool_kernel(),
         )
 
     variables = None

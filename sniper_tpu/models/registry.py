@@ -29,13 +29,21 @@ def _pool_kernel(cfg):
     pool = str(getattr(cfg.network, "POOL_KERNEL", "auto"))
     if pool != "auto":
         return pool
+    n = int(getattr(cfg.parallel, "num_devices", 1) or 1)
+    return default_pool_kernel(n)
+
+
+def default_pool_kernel(num_devices: int = 1) -> str:
+    """The backend "auto" resolves to: the fused Pallas kernel on a
+    single TPU device, the einsum path everywhere else (CPU has no
+    Mosaic; a pallas_call inside an auto-partitioned jit has no
+    sharding rule). num_devices < 0 means "all devices" (training's
+    convention), so a multi-chip host counts as multi. Benches and
+    profile scripts import this so they measure the backend the
+    framework would actually ship on that hardware."""
     import jax
 
-    n = int(getattr(cfg.parallel, "num_devices", 1) or 1)
-    # training resolves -1 to ALL devices (main_train.py), so a
-    # multi-chip host with the default -1 must count as multi here too —
-    # a pallas_call inside the auto-partitioned train jit would fail
-    multi = (len(jax.devices()) if n < 0 else n) > 1
+    multi = (len(jax.devices()) if num_devices < 0 else num_devices) > 1
     on_tpu = jax.default_backend() in ("tpu", "axon")
     return "fused" if on_tpu and not multi else "einsum"
 

@@ -443,9 +443,15 @@ def _pool_bwd_kernel(geom_ref, bins_ref, featt_ref, g_ref,
         return
 
     # the divisor's dependence on the tents: d(1/max(n,1)) is zero on
-    # (0, 1] (the max picks the constant), matching jnp.maximum autodiff
-    dn = jnp.where(pos & (n > 1.0),
-                   -jnp.sum(g * numer, axis=1, keepdims=True) / (den * den),
+    # (0, 1) (the max picks the constant) and HALF at the n == 1.0 tie
+    # (jnp.maximum autodiff splits ties, like the tent kinks above) —
+    # load-bearing: the zeros-init FC makes integer window starts, so a
+    # border roi with one in-bounds sample row and column hits n == 1.0
+    # exactly on step 1.
+    tie = jnp.where(n == 1.0, 0.5, 1.0)
+    dn = jnp.where(pos & (n >= 1.0),
+                   -tie * jnp.sum(g * numer, axis=1, keepdims=True)
+                   / (den * den),
                    0.0)                          # [P*P, 1]
 
     dcx = jax.lax.dot_general(

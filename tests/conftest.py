@@ -25,10 +25,17 @@ jax.config.update("jax_platforms", "cpu")
 # across runs makes re-runs minutes faster. Opt out with
 # SNIPER_TPU_NO_JIT_CACHE=1 (e.g. when timing cold compiles).
 if not os.environ.get("SNIPER_TPU_NO_JIT_CACHE"):
+    import getpass
+    import tempfile
+
+    # per-user path: a fixed /tmp name collides on shared boxes (the
+    # first user owns it; everyone else silently loses caching)
+    _default_cache = os.path.join(
+        tempfile.gettempdir(),
+        f"sniper_tpu_jax_cache_{getpass.getuser()}")
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("SNIPER_TPU_JIT_CACHE",
-                       "/tmp/sniper_tpu_jax_cache"))
+        os.environ.get("SNIPER_TPU_JIT_CACHE", _default_cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np  # noqa: E402

@@ -147,6 +147,51 @@ def test_vjp_grads_match_einsum_autodiff(rng, margin_bins, fc_scale):
         np.testing.assert_allclose(a, b, atol=tol, err_msg=name)
 
 
+def test_vjp_pool_count_tie_grads(rng):
+    """Valid-count tie (n == 1.0) subgradient: jnp.maximum autodiff
+    splits the tie in half, so the divisor gradient at n == 1.0 is
+    -0.5*g*numer/den^2, NOT zero. The tie only carries gradient when an
+    integer-positioned stencil window sits exactly on the validity
+    boundary, which needs feature-aligned roi coords + integer bin
+    sizes + zeros-init FC (the step-1 training regime) + a roi
+    straddling the feature-map border — the rois below were found by an
+    old-gate vs einsum-autodiff search; the old `n > 1.0` gate was off
+    by 58% relative on doff_k here."""
+    import jax
+    from sniper_tpu.ops.pallas.fused_pool import fused_pool_vjp
+
+    B, H, W, C = 1, 20, 28, 8
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    # 20x28 feature map = 320x448 image px; bin size 3 feature px
+    rois = jnp.asarray(np.array([
+        [0, -32, 16, 304, 352],
+        [0, -80, 16, 256, 352],
+        [0, -128, 16, 208, 352],
+    ], np.float32))
+    rpi = 3
+    P = 7
+    off_k = jnp.zeros((P * P * C, 2 * P * P), jnp.float32)
+    off_b = jnp.zeros((2 * P * P), jnp.float32)
+    gct = jnp.asarray(rng.randn(rpi, P * P * C).astype(np.float32))
+
+    def loss(fn, feat, off_k, off_b, **kw):
+        out = fn(feat, rois, off_k, off_b, rois_per_image=rpi,
+                 margin_bins=1, **kw)
+        return jnp.sum(out * gct)
+
+    def ein(*a, **kw):
+        return fused_offset_pool(*a, extract="einsum", **kw)
+
+    ge = jax.grad(lambda *a: loss(ein, *a), argnums=(0, 1, 2))(
+        feat, off_k, off_b)
+    gf = jax.grad(lambda *a: loss(fused_pool_vjp, *a), argnums=(0, 1, 2))(
+        feat, off_k, off_b)
+    for name, a, b in zip(("dfeat", "doff_k", "doff_b"), ge, gf):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 2e-5 * max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=tol, err_msg=name)
+
+
 def test_head_train_grads_fused_matches_einsum(rng):
     """Head-level training plumbing: grads of a scalar loss wrt ALL head
     params (offset FC, fc6/fc7, cls/bbox) agree between the einsum and
