@@ -58,7 +58,7 @@ def main(trunk: str = "r101", batches=None, reps=None):
         "r50": dict(units=(3, 4, 6, 3)),
         "mnv2": dict(trunk_type="mobilenetv2", head_fc_dim=512),
         "x101": dict(trunk_type="resnext", units=(3, 4, 23, 3),
-                     num_trunk_groups=32),
+                     num_trunk_groups=64),  # registry's resnext_mx_101
     }[trunk]
     def make_model(post_nms):
         return SNIPERDetector(

@@ -7,7 +7,10 @@ import os
 
 import numpy as np
 
-_SO = os.path.join(
+# default: repo-checkout layout (<repo>/native/, built by
+# scripts/build_native.sh); a pip-installed package points at its build
+# via SNIPER_TPU_CHIPS_SO
+_SO = os.environ.get("SNIPER_TPU_CHIPS_SO") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
     "libsniper_chips.so",
