@@ -183,6 +183,16 @@ def run_detection(cfg, model, variables, roidb, dataset, out_dir):
 
     def get_tester(post_nms):
         if post_nms not in testers:
+            if model is None:
+                # callers may pass model=None only when every scale is
+                # expected to resume from its dets cache; reaching here
+                # means a scale missed — fail with the real cause
+                # instead of an opaque attribute error below
+                raise RuntimeError(
+                    "run_detection(model=None) hit an uncached scale — "
+                    "a dets_scale*.pkl is missing or TEST.USE_CACHE is "
+                    "off for it; pass a model to run the forward"
+                )
             m = model
             if post_nms != model.post_nms_top_n:
                 m = model.clone(post_nms_top_n=post_nms)

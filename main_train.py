@@ -148,6 +148,14 @@ def main():
         logger.info(f"process {pid}: {len(roidb)} roidb images")
     loader = ChipLoader(roidb, cfg, local_batch, seed=cfg.TRAIN.seed + pid)
 
+    # explicit POOL_KERNEL=fused is a single-device (or shard_map
+    # inference) backend: inside the auto-partitioned TRAIN jit a
+    # pallas_call has no sharding rule and fails at lowering on a >1
+    # device mesh — demote to the einsum path like "auto" does
+    if n_dev > 1 and str(cfg.network.POOL_KERNEL) == "fused":
+        logger.info("network.POOL_KERNEL=fused is single-device-only for "
+                    f"training (mesh has {n_dev} devices); using einsum")
+        cfg.network.POOL_KERNEL = "einsum"
     model = get_model(cfg)
     n_chips = loader.reset()
     logger.info(f"epoch 0: {n_chips} chips")

@@ -127,7 +127,11 @@ def load_rpn_proposals(pkl_path, roidb, num_classes, nms_thresh=0.7,
     # when the rewrite lands within the old file's second
     cache_key = (int(st.st_size), int(st.st_mtime_ns), float(nms_thresh),
                  int(top_k), len(roidb))
-    cache_path = f"{pkl_path}.nms_{nms_thresh:g}.pkl"
+    # filename carries the full validity key (not just nms_thresh):
+    # callers differing in top_k or roidb subset would otherwise share
+    # one file and alternately overwrite it (correct, but thrashing)
+    cache_path = (f"{pkl_path}.nms_{nms_thresh:g}"
+                  f".top{top_k}.n{len(roidb)}.pkl")
     nmsed = None
     if use_cache and os.path.exists(cache_path):
         with open(cache_path, "rb") as f:

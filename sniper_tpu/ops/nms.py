@@ -49,7 +49,14 @@ def nms_np(dets: np.ndarray, thresh: float) -> list[int]:
         w = np.maximum(0.0, xx2 - xx1 + 1)
         h = np.maximum(0.0, yy2 - yy1 + 1)
         inter = w * h
-        ovr = inter / (areas[i] + areas - inter)
+        # degenerate/inverted boxes (x2 < x1-1) have +1-convention area
+        # <= 0; the raw division then yields NaN, and ``NaN >= thresh``
+        # is False — such a box would silently never be suppressed (and
+        # never suppress). Guard the denominator: zero-area boxes can't
+        # overlap anything, so their IoU is 0.
+        denom = areas[i] + areas - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ovr = np.where(denom > 0, inter / denom, 0.0)
         suppressed |= ovr >= thresh
     return keep
 
@@ -107,9 +114,14 @@ def soft_nms_np(
             ih = np.minimum(ty2, rest[:, 3]) - np.maximum(ty1, rest[:, 1]) + one
             hit = (iw > 0) & (ih > 0)
             inter = iw * ih
+            # guard degenerate boxes (area <= 0 under the +1 convention):
+            # tarea + area - inter can be <= 0 only when both boxes are
+            # degenerate, where a NaN score would otherwise poison the
+            # argmax selection and never drop. IoU := 0 there.
+            denom = tarea + area - inter
             with np.errstate(divide="ignore", invalid="ignore"):
                 ov = np.where(
-                    hit, inter / (tarea + area - inter), np.float32(0)
+                    hit & (denom > 0), inter / denom, np.float32(0)
                 )
             if method == 1:  # linear
                 weight = np.where(ov > Nt, one - ov, one)
@@ -202,9 +214,10 @@ def soft_nms_np_batched(
         postmask = (pos_idx[None] > ic[:, None]) & (pos_idx[None] < N[rows, None])
         hit = (iw > 0) & (ih > 0) & postmask
         inter = iw * ih
+        # same degenerate-box guard as soft_nms_np: denom <= 0 => IoU 0
+        denom = tarea[:, None] + area - inter
         with np.errstate(divide="ignore", invalid="ignore"):
-            ov = np.where(hit, inter / (tarea[:, None] + area - inter),
-                          np.float32(0))
+            ov = np.where(hit & (denom > 0), inter / denom, np.float32(0))
         if method == 1:
             weight = np.where(ov > Nt, one - ov, one)
         elif method == 2:
@@ -297,7 +310,8 @@ def nms_jax(
         xx2 = jnp.minimum(bi[2], boxes[:, 2])
         yy2 = jnp.minimum(bi[3], boxes[:, 3])
         inter = jnp.maximum(0.0, xx2 - xx1 + 1) * jnp.maximum(0.0, yy2 - yy1 + 1)
-        ovr = inter / (areas[i] + areas - inter)
+        denom = areas[i] + areas - inter  # <= 0 only for degenerate pairs
+        ovr = jnp.where(denom > 0, inter / denom, 0.0)
         sup = (ovr > thresh) if strict else (ovr >= thresh)
         new_scores = jnp.where(ok & sup, NEG_INF, live_scores)
         new_scores = new_scores.at[i].set(NEG_INF)

@@ -227,9 +227,9 @@ def _window_starts(pass1, off_k, off_b, roi_h, roi_w, sub_h, sub_w,
     """Offset FC + per-bin window starts, batched over all rois in XLA.
 
     Returns (py, px, my, mx, off): the clipped [R, P*P] window starts
-    pass B stencils at, the not-clipped masks the backward needs (clip
-    has zero gradient at the rails), and the raw offset-FC output
-    [R, 2*P*P] (clamp telemetry)."""
+    pass B stencils at, the clip subgradient masks the backward needs
+    (1 inside, 0 outside, 0.5 at a rail — jnp.clip's exact autodiff),
+    and the raw offset-FC output [R, 2*P*P] (clamp telemetry)."""
     R = pass1.shape[0]
     off = (pass1.reshape(R, -1) @ off_k.astype(jnp.float32)
            + off_b.astype(jnp.float32))                 # [R, 2*P*P]
@@ -243,8 +243,17 @@ def _window_starts(pass1, off_k, off_b, roi_h, roi_w, sub_h, sub_w,
     hi = float(E - S)
     py = jnp.clip(raw_y, 0.0, hi)
     px = jnp.clip(raw_x, 0.0, hi)
-    my = ((raw_y > 0.0) & (raw_y < hi)).astype(jnp.float32)
-    mx = ((raw_x > 0.0) & (raw_x < hi)).astype(jnp.float32)
+    # clip subgradient, matching jnp.clip autodiff exactly: 1 strictly
+    # inside, 0 strictly outside, and 0.5 AT a rail (JAX's max/min
+    # split ties 0.5) — so the fused backward is grad-identical to the
+    # einsum path even on the measure-zero rail set
+    def _clip_mask(raw):
+        inside = (raw > 0.0) & (raw < hi)
+        at_rail = (raw == 0.0) | (raw == hi)
+        return inside.astype(jnp.float32) + 0.5 * at_rail.astype(jnp.float32)
+
+    my = _clip_mask(raw_y)
+    mx = _clip_mask(raw_x)
     return py, px, my, mx, off
 
 
@@ -585,8 +594,9 @@ def _make_fused_pool_vjp(rpi, P, S, spatial_scale, trans_std, margin_bins,
         pypx = jnp.concatenate([py, px], axis=1).astype(jnp.float32)
         dfeat_b, dpp = call(pypx, g, mode="stencil")
 
-        # window starts -> offset FC transpose (clip rails kill the
-        # gradient; trans_std * roi/sub is the forward's exact scale)
+        # window starts -> offset FC transpose (my/mx carry jnp.clip's
+        # exact subgradient incl. the 0.5 rail ties; trans_std *
+        # roi/sub is the forward's exact scale)
         dpy = dpp[:, :PP] * my
         dpx = dpp[:, PP:] * mx
         ddy = dpy * (trans_std * roi_h.reshape(R, 1) / sub_h.reshape(R, 1))

@@ -226,7 +226,9 @@ def test_load_rpn_proposals_nms_cache(coco_dir, tmp_path):
 
     pkl = write_pkl(1)
     out1 = load_rpn_proposals(pkl, roidb, num_classes=3)
-    cache = f"{pkl}.nms_0.7.pkl"
+    # filename carries the full validity key (thresh, top_k, #images)
+    # so differing callers don't thrash one shared file
+    cache = f"{pkl}.nms_0.7.top-1.n{len(roidb)}.pkl"
     assert os.path.exists(cache), "NMS cache must be written"
     out2 = load_rpn_proposals(pkl, roidb, num_classes=3)
     for a, b in zip(out1, out2):

@@ -198,3 +198,41 @@ def test_soft_nms_batched_matches_per_class(rng):
                                          method=2, return_indices=True)
                 np.testing.assert_array_equal(out, want)
                 np.testing.assert_array_equal(idx, widx)
+
+
+def test_degenerate_boxes_warning_free_and_suppressible(rng):
+    """Inverted/degenerate boxes (x2 < x1-1 => +1-area <= 0) must not
+    produce NaN IoU (which made them immune to suppression) and must not
+    emit RuntimeWarnings. Real boxes around them behave as usual."""
+    import warnings
+
+    dets = np.array(
+        [
+            [10, 10, 100, 100, 0.9],   # real
+            [12, 12, 98, 98, 0.8],     # overlaps the real box -> suppressed
+            [50, 50, 40, 40, 0.7],     # inverted (zero/neg area)
+            [50, 50, 40, 40, 0.6],     # identical inverted duplicate
+            [200, 200, 190, 205, 0.5], # inverted in x only
+        ],
+        np.float32,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        keep = nms_np(dets, 0.5)
+        soft = soft_nms_np(dets.copy(), sigma=0.55, method=2)
+        from sniper_tpu.ops.nms import soft_nms_np_batched
+
+        soft_b = soft_nms_np_batched([dets.copy(), dets[:2].copy()],
+                                     sigma=0.55, method=2)
+    # hard NMS: real duplicate suppressed; degenerate boxes have IoU 0
+    # with everything (including each other) so they all survive
+    assert keep == [0, 2, 3, 4]
+    # soft-NMS: no NaN scores anywhere
+    assert np.isfinite(soft).all()
+    assert all(np.isfinite(s).all() for s in soft_b)
+    # device NMS agrees on the degenerate semantics
+    keep_j, valid_j = nms_jax(
+        jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]), 5, 0.5
+    )
+    got = sorted(int(k) for k, v in zip(keep_j, valid_j) if v)
+    assert got == [0, 2, 3, 4]

@@ -285,3 +285,37 @@ def test_nonzero_offsets_exercise_stencil(rng):
                           margin_bins=1)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=5e-5, rtol=5e-4)
+
+
+def test_window_start_rail_tie_subgradient():
+    """The VJP's clip masks reproduce jnp.clip's autodiff EXACTLY,
+    including the measure-zero rail ties (grad 0.5, not 0): raw window
+    starts placed exactly ON the clip rails must get mask 0.5."""
+    from sniper_tpu.ops.pallas.fused_pool import _window_starts
+
+    P, S, M = 7, 2, 2
+    E = P * S + 2 * M
+    hi = float(E - S)
+    PP = P * P
+    C = 4
+    pass1 = jnp.zeros((1, PP * C), jnp.float32)
+    off_k = jnp.zeros((PP * C, 2 * PP), jnp.float32)
+    p_i = np.arange(PP)
+    base_y = (S * (p_i // P) + M).astype(np.float32)
+    base_x = (S * (p_i % P) + M).astype(np.float32)
+    ones = jnp.ones((1,), jnp.float32)
+
+    def masks(dy, dx):
+        _, _, my, mx, _ = _window_starts(
+            pass1, off_k, jnp.asarray(np.concatenate([dy, dx])),
+            ones, ones, ones, ones, P=P, S=S, M=M, E=E, trans_std=1.0,
+        )
+        return np.asarray(my)[0], np.asarray(mx)[0]
+
+    # exactly ON the rails: raw_y == 0, raw_x == hi -> 0.5 like
+    # jax.grad(jnp.clip) (tested: max/min ties split in half)
+    my, mx = masks(-base_y, hi - base_x)
+    assert (my == 0.5).all() and (mx == 0.5).all()
+    # strictly interior -> 1; strictly outside -> 0
+    my, mx = masks(np.zeros(PP, np.float32), -100 * np.ones(PP, np.float32))
+    assert (my == 1.0).all() and (mx == 0.0).all()
