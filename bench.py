@@ -270,6 +270,14 @@ def main(trunk: str = "r101", batches=None, reps=None):
             result.update(_bench_train_step(peak))
         except Exception as e:  # noqa: BLE001 — keep the headline metric
             result["train_error"] = f"{type(e).__name__}: {e}"
+        try:
+            result.update(_bench_train_pipeline())
+        except Exception as e:  # noqa: BLE001 — keep the headline metric
+            result["train_pipeline_error"] = f"{type(e).__name__}: {e}"
+        try:
+            result.update(_bench_autofocus())
+        except Exception as e:  # noqa: BLE001 — keep the headline metric
+            result["autofocus_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 
@@ -364,6 +372,171 @@ def _bench_train_step(peak, b=16, chip=512):
     except Exception:
         pass
     return out
+
+
+def _bench_train_pipeline(b=16, n_images=96):
+    """The rate a real training run pays, not the device ceiling.
+
+    Runs the EXACT main_train.py inner loop — ChipLoader over real JPEG
+    files (cv2 decode cost included), shard_batch issued from the
+    Prefetcher's producer thread (so batch N+1's uint8 host->device
+    transfer overlaps step N's compute), donated train step, metric
+    scalars only materialized at the end — and reports
+    train_pipeline_ms / train_pipeline_img_per_s next to the
+    resident-batch train_step_ms numbers. The difference is the
+    host+transfer overhead per step (reference analog: Speedometer
+    measures the fed pipeline, /root/reference/main_train.py:138).
+    """
+    import itertools
+    import sys
+    import tempfile
+    import time
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sniper_tpu.config import default_config
+    from sniper_tpu.data.loader import ChipLoader, Prefetcher
+    from sniper_tpu.models.detector import SNIPERDetector
+    from sniper_tpu.models.registry import default_pool_kernel
+    from sniper_tpu.parallel.mesh import make_mesh, shard_batch
+    from sniper_tpu.train.optimizer import make_optimizer
+    from sniper_tpu.train.trainer import create_train_state, make_train_step
+
+    rng = np.random.RandomState(0)
+
+    # flagship TRAIN config (same knobs as _bench_train_step's device
+    # program, plus the loader's): 512^2 chips, 3 scales, 21 anchors
+    cfg = default_config()
+    cfg.TRAIN.SCALES = [(1400, 2000), (800, 1280), (-1, 512)]
+    cfg.TRAIN.VALID_RANGES = [(-1, 80), (32, 150), (120, -1)]
+    cfg.TRAIN.USE_NEG_CHIPS = False  # no proposal pkl in a synthetic run
+    cfg.TRAIN.BATCH_IMAGES = b
+    cfg.TRAIN.lr = 0.015
+    cfg.TRAIN.warmup = False
+    cfg.TRAIN.lr_step = ""
+    cfg.network.FIXED_PARAMS = ["conv0", "bn0", "stage1", "bn_data"]
+    A = 21
+    model = SNIPERDetector(
+        num_classes=81, num_anchors=A,
+        anchor_scales=(2, 4, 7, 10, 13, 16, 24), anchor_ratios=(0.5, 1, 2),
+        units=(3, 4, 23, 3), dtype=jnp.bfloat16,
+        train_pre_nms=6000, train_post_nms=300, num_rois=300,
+        pool_kernel=default_pool_kernel(),
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        # COCO-ish synthetic JPEGs (mixed orientation, smoothed so the
+        # decode cost is realistic); GT sizes span all 3 valid ranges
+        roidb = []
+        for i in range(n_images):
+            w, h = (640, 480) if i % 3 else (480, 640)
+            im = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+            im = cv2.GaussianBlur(im, (11, 11), 5)
+            p = f"{td}/im{i}.jpg"
+            cv2.imwrite(p, im)
+            n_gt = 8
+            x1 = rng.uniform(0, w - 200, n_gt)
+            y1 = rng.uniform(0, h - 200, n_gt)
+            s = rng.uniform(16, 180, n_gt)
+            boxes = np.stack(
+                [x1, y1, np.minimum(x1 + s, w - 1),
+                 np.minimum(y1 + s, h - 1)], 1,
+            ).astype(np.float32)
+            roidb.append({
+                "image": p, "width": w, "height": h, "boxes": boxes,
+                "max_overlaps": np.ones(n_gt),
+                "max_classes": rng.randint(1, 81, n_gt),
+                "flipped": False,
+            })
+
+        loader = ChipLoader(roidb, cfg, batch_size=b, seed=0)
+        mesh = make_mesh(1)
+        n_chips = loader.reset()
+        sample = next(iter(loader))
+        state = create_train_state(model, cfg, sample, optax.sgd(0.1))
+        tx, _ = make_optimizer(cfg, epoch_size=max(len(loader), 1),
+                               params=state.params)
+        state = state.replace(opt_state=tx.init(state.params))
+        step_fn = make_train_step(
+            model, tx, mesh, batch_images_per_device=b,
+            rpn_batch_size=cfg.TRAIN.RPN_BATCH_SIZE,
+            pixel_means=cfg.network.PIXEL_MEANS,
+        )
+
+        key = jax.random.PRNGKey(0)
+
+        def run_epoch():
+            nonlocal state, key
+            staged = (shard_batch(mesh, bt) for bt in iter(loader))
+            pending = []
+            n = 0
+            for batch in Prefetcher(staged):
+                key, sub = jax.random.split(key)
+                state, metrics = step_fn(state, batch, sub)
+                pending.append(metrics)
+                n += 1
+            # materialize at the epoch boundary (main_train flushes at
+            # the log cadence) — this is what forces completion
+            for m in pending:
+                jax.tree_util.tree_map(float, m)
+            return n
+
+        print(f"train pipeline warmup ({n_chips} chips) ...",
+              file=sys.stderr, flush=True)
+        run_epoch()  # compile + page cache
+        print("train pipeline warmup done", file=sys.stderr, flush=True)
+        # steady-state per-step rate: the per-epoch chip re-roll is
+        # timed separately (scripts/bench_datagen_scale.py), so reset
+        # stays OUTSIDE the step timer like the reference Speedometer
+        steps, dt = 0, 0.0
+        for _ in range(2):
+            loader.reset()
+            t0 = time.perf_counter()
+            steps += run_epoch()
+            dt += time.perf_counter() - t0
+        out = {
+            "train_pipeline_ms": round(dt / steps * 1e3, 1),
+            "train_pipeline_img_per_s": round(steps * b / dt, 2),
+            "train_pipeline_steps": steps,
+        }
+    return out
+
+
+def _bench_autofocus():
+    """AutoFocus coarse-to-fine inference in the driver bench line.
+
+    The reference's AutoFocus contribution is inference efficiency
+    (percent of pixels processed at the fine scales,
+    /root/reference/lib/chips/chips_inference.py:171-172; README.md:50
+    AutoFocus row). Delegates to scripts/bench_autofocus.bench — the
+    REAL pipeline (FocusPixel head -> gmask FocusChips -> tier-bucketed
+    chip inference -> border pruning -> aggregate) with planted coarse
+    maps so the focused fraction is controlled (random-init maps carry
+    no signal; the device cost of predicting them is still paid). Runs
+    AFTER the main sections so the big canvases already exist on the
+    TPU worker. Reports the d=0.05 operating point (~12% of fine-scale
+    pixels, the reference's ballpark) as the headline autofocus rate.
+    """
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import bench_autofocus
+
+    r = bench_autofocus.bench(densities=(0.05, 0.2))
+    full = r["full_pyramid"]["img_per_s"]
+    head = r["autofocus_d0.05"]
+    return {
+        "autofocus_img_per_s": head["img_per_s"],
+        "autofocus_pct_pixels": head["pct_pixels"],
+        "autofocus_full_pyramid_img_per_s": full,
+        "autofocus_speedup": round(head["img_per_s"] / full, 2),
+        "autofocus_sweep": r,
+    }
 
 
 if __name__ == "__main__":

@@ -200,6 +200,17 @@ def main():
 
     key = jax.random.PRNGKey(cfg.TRAIN.seed)
     step = int(state.step)
+    # prediction-side debug dumps (reference VisMetric,
+    # lib/train_utils/metric.py:347-368) — pairs with the loader's
+    # GT-side chip rendering under the same TRAIN.VISUALIZE flag.
+    # RPN-only models have no detection head to dump.
+    dumper = None
+    last_host: dict = {}
+    if bool(getattr(cfg.TRAIN, "VISUALIZE", False)) and \
+            not cfg.TRAIN.ONLY_PROPOSAL:
+        from sniper_tpu.train.vis_dump import PredictionDumper
+
+        dumper = PredictionDumper(model, cfg, out_dir)
     for epoch in range(cfg.TRAIN.begin_epoch, cfg.TRAIN.end_epoch):
         if epoch > cfg.TRAIN.begin_epoch:
             n_chips = loader.reset()
@@ -218,8 +229,13 @@ def main():
         # truncation happens BEFORE the Prefetcher so the producer
         # thread exhausts and exits instead of parking forever on a
         # full queue holding device-resident batches
+        def _stage(b):
+            if dumper is not None:
+                last_host["batch"] = b
+            return shard_batch(mesh, b)
+
         staged = (
-            shard_batch(mesh, b)
+            _stage(b)
             for b in itertools.islice(iter(loader), steps_this_epoch)
         )
         pending: list = []
@@ -240,6 +256,13 @@ def main():
                 _flush()
                 lr = float(schedule(step))
                 logger.info(tracker.format(epoch, step) + f"  lr={lr:.6f}")
+            if dumper is not None and "batch" in last_host:
+                # prediction-side debug dump (VisMetric analog); the
+                # rendered chip may be prefetch-depth steps ahead of the
+                # stepped batch — fine for a debug artifact
+                p = dumper.maybe_dump(state, last_host["batch"], step)
+                if p:
+                    logger.info(f"dumped predictions to {p}")
         _flush()
         # HEAD_MARGIN_BINS clamp telemetry (models/heads.RCNNHead): warn
         # loudly if trained offsets approach/hit the stencil halo — a

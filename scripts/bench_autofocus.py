@@ -133,9 +133,12 @@ def run_pipeline(fwd, variables, cfg, autofocus_density=None):
     return time.perf_counter() - t0, pct
 
 
-def main():
-    import json
+def bench(densities=(0.05, 0.2, 0.5)):
+    """Full AutoFocus vs full-pyramid sweep; returns the results dict.
 
+    Importable by the driver bench (bench.py --> autofocus_* fields in
+    BENCH_r*.json) as well as runnable standalone.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -160,8 +163,9 @@ def main():
     # orders tiers ascending; scales run coarse -> fine)
     fwd = make_fwd(model, cfg)
     print("warmup (compiles all canvas tiers)...", file=sys.stderr, flush=True)
-    run_pipeline(fwd, variables, cfg, autofocus_density=0.5)
-    run_pipeline(fwd, variables, cfg, autofocus_density=0.05)
+    run_pipeline(fwd, variables, cfg, autofocus_density=max(densities))
+    if min(densities) != max(densities):
+        run_pipeline(fwd, variables, cfg, autofocus_density=min(densities))
     run_pipeline(fwd, variables, cfg, autofocus_density=None)
 
     results = {}
@@ -169,14 +173,20 @@ def main():
     results["full_pyramid"] = {
         "img_per_s": round(N_IMAGES / t_full, 2), "pct_pixels": 100.0,
     }
-    for density in (0.05, 0.2, 0.5):
+    for density in densities:
         t_af, pct = run_pipeline(fwd, variables, cfg,
                                  autofocus_density=density)
         results[f"autofocus_d{density}"] = {
             "img_per_s": round(N_IMAGES / t_af, 2),
             "pct_pixels": round(pct, 1),
         }
-    print(json.dumps(results))
+    return results
+
+
+def main():
+    import json
+
+    print(json.dumps(bench()))
 
 
 if __name__ == "__main__":

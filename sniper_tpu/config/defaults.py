@@ -92,12 +92,19 @@ def default_config() -> AttrDict:
     # 25-35% faster); trained offsets measured 4.4x below the clamp
     # (scripts/profile_margin.py). Set 2 for the conservative halo.
     n.HEAD_MARGIN_BINS = 1
-    # inference pool backend for the 7x7 R-CNN head: "auto" resolves to
-    # the fused Pallas kernel (ops/pallas/fused_pool.py) on a single
-    # TPU device and to the chunked einsum path otherwise; "einsum" /
-    # "fused" force a backend. Training always uses einsum (the Pallas
-    # kernel is forward-only).
+    # pool backend for the 7x7 R-CNN head: "auto" resolves to the fused
+    # Pallas kernel (ops/pallas/fused_pool.py, hand-written backward so
+    # training pools through it too) on a single TPU device and to the
+    # chunked einsum path otherwise; "einsum" / "fused" force a
+    # backend ("pallas" is the forward-only per-roi parity oracle).
     n.POOL_KERNEL = "auto"
+    # BatchNorm statistics mode for multi-device training: "sync"
+    # (default — XLA computes statistics over the GLOBAL batch under
+    # the auto-partitioned step, a quality superset) or "local"
+    # (per-device statistics, the reference's training recipe:
+    # /root/reference/README.md:10 trains per-GPU BN). Single-device
+    # runs are identical either way; inference is always identical.
+    n.BN_MODE = "sync"
 
     # dataset
     d = c.dataset = AttrDict()

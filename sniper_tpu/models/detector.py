@@ -83,6 +83,12 @@ class SNIPERDetector(nn.Module):
     bg_thresh_lo: float = 0.0
     bbox_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
     bbox_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
+    # network.BN_MODE: "sync" (XLA global-batch statistics, quality
+    # superset) or "local" (per-device statistics like the reference's
+    # per-GPU BN, README.md:10). bn_groups = data-parallel device count
+    # (the registry resolves it); only training statistics change.
+    bn_mode: str = "sync"
+    bn_groups: int = 1
 
     def _anchors(self, fh: int, fw: int):
         return anchors_ahw_on_device(
@@ -99,15 +105,17 @@ class SNIPERDetector(nn.Module):
         if self.trunk_type == "mobilenetv2":
             from sniper_tpu.models.mobilenetv2 import MobileNetV2Trunk
 
-            feat, _ = MobileNetV2Trunk(dtype=self.dtype, name="trunk")(
-                data, train=train
-            )
+            feat, _ = MobileNetV2Trunk(
+                bn_mode=self.bn_mode, bn_groups=self.bn_groups,
+                dtype=self.dtype, name="trunk",
+            )(data, train=train)
             feat = feat.astype(jnp.float32)
         elif self.trunk_type == "resnext":
             from sniper_tpu.models.resnext import ResNeXtTrunk
 
             c4, c5 = ResNeXtTrunk(
                 units=self.units, num_groups=self.num_trunk_groups,
+                bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                 dtype=self.dtype, name="trunk",
             )(data, train=train)
             # concat stays in trunk dtype: the RPN/conv_new convs over the
@@ -119,7 +127,8 @@ class SNIPERDetector(nn.Module):
             )
         else:
             c4, c5 = ResNetTrunk(
-                units=self.units, dtype=self.dtype, name="trunk",
+                units=self.units, bn_mode=self.bn_mode,
+                bn_groups=self.bn_groups, dtype=self.dtype, name="trunk",
             )(data, train=train)
             feat = jnp.concatenate(
                 [c4.astype(self.dtype), c5.astype(self.dtype)], axis=-1

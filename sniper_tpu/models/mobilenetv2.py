@@ -38,10 +38,14 @@ class MobileUnit(nn.Module):
     groups: int = 1
     act: bool = True
     bn_momentum: float = 0.995
+    bn_mode: str = "sync"      # "local" -> per-device statistics
+    bn_groups: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from sniper_tpu.models.norm import make_batch_norm
+
         pad = (self.kernel - 1) // 2
         h = nn.Conv(
             self.filters, (self.kernel, self.kernel),
@@ -50,9 +54,10 @@ class MobileUnit(nn.Module):
             feature_group_count=self.groups, use_bias=False,
             dtype=self.dtype, name="conv2d",
         )(x)
-        h = nn.BatchNorm(
+        h = make_batch_norm(
             use_running_average=not train, momentum=self.bn_momentum,
             epsilon=1e-5, dtype=self.dtype, name="batchnorm",
+            bn_mode=self.bn_mode, bn_groups=self.bn_groups,
         )(h)
         return relu6(h) if self.act else h
 
@@ -63,16 +68,20 @@ class InvertedResidual(nn.Module):
     stride: int = 1
     expansion: int = 6
     shortcut: bool = False
+    bn_mode: str = "sync"
+    bn_groups: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool):
         exp = int(round(self.in_filters * self.expansion))
-        h = MobileUnit(exp, 1, 1, dtype=self.dtype, name="exp")(x, train)
+        bkw = dict(bn_mode=self.bn_mode, bn_groups=self.bn_groups)
+        h = MobileUnit(exp, 1, 1, dtype=self.dtype, name="exp",
+                       **bkw)(x, train)
         h = MobileUnit(exp, 3, self.stride, groups=exp, dtype=self.dtype,
-                       name="depthwise")(h, train)
+                       name="depthwise", **bkw)(h, train)
         h = MobileUnit(self.filters, 1, 1, act=False, dtype=self.dtype,
-                       name="linear")(h, train)
+                       name="linear", **bkw)(h, train)
         return x + h if self.shortcut else h
 
 
@@ -81,13 +90,16 @@ class MobileNetV2Trunk(nn.Module):
     'c5' slots point at it — the MNv2 symbol has a single map)."""
 
     multiplier: float = 1.0
+    bn_mode: str = "sync"      # network.BN_MODE: per-device stats = "local"
+    bn_groups: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        bkw = dict(bn_mode=self.bn_mode, bn_groups=self.bn_groups)
         h = MobileUnit(
             int(round(32 * self.multiplier)), 3, 2, dtype=jnp.float32,
-            name="first_conv",
+            name="first_conv", **bkw,
         )(x.astype(jnp.float32), train)
         h = h.astype(self.dtype)
         in_c = int(round(32 * self.multiplier))
@@ -95,15 +107,16 @@ class MobileNetV2Trunk(nn.Module):
             c = int(round(c * self.multiplier))
             h = InvertedResidual(
                 in_c, c, stride=s, expansion=t, shortcut=False,
-                dtype=self.dtype, name=f"seq{i}_block0",
+                dtype=self.dtype, name=f"seq{i}_block0", **bkw,
             )(h, train)
             for j in range(1, n):
                 h = InvertedResidual(
                     c, c, stride=1, expansion=t, shortcut=True,
-                    dtype=self.dtype, name=f"seq{i}_block{j}",
+                    dtype=self.dtype, name=f"seq{i}_block{j}", **bkw,
                 )(h, train)
             in_c = c
         last = 1280 if self.multiplier <= 1.0 else int(1280 * self.multiplier)
-        h = MobileUnit(last, 1, 1, dtype=self.dtype, name="last_conv")(h, train)
+        h = MobileUnit(last, 1, 1, dtype=self.dtype, name="last_conv",
+                       **bkw)(h, train)
         h = h.astype(jnp.float32)
         return h, h

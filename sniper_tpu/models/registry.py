@@ -48,8 +48,31 @@ def default_pool_kernel(num_devices: int = 1) -> str:
     return "fused" if on_tpu and not multi else "einsum"
 
 
+def _bn_mode(cfg):
+    """Resolve network.BN_MODE -> (bn_mode, bn_groups).
+
+    "local" = per-device BatchNorm statistics (the reference's training
+    recipe, README.md:10): groups = the data-parallel device count, so
+    each device's batch shard normalizes with its own moments and XLA
+    never inserts a statistics collective. "sync" (default) keeps
+    global-batch statistics. Single device -> plain sync either way.
+    """
+    mode = str(getattr(cfg.network, "BN_MODE", "sync"))
+    if mode not in ("sync", "local"):
+        raise ValueError(f"network.BN_MODE must be sync|local, got {mode!r}")
+    if mode == "local":
+        import jax
+
+        n = int(getattr(cfg.parallel, "num_devices", 1) or 1)
+        groups = len(jax.devices()) if n < 0 else n
+        if groups > 1:
+            return "local", groups
+    return "sync", 1
+
+
 def _resnet(units):
     def build(cfg, **overrides):
+        bn_mode, bn_groups = _bn_mode(cfg)
         kw = dict(
             num_classes=cfg.dataset.NUM_CLASSES,
             num_anchors=cfg.network.NUM_ANCHORS,
@@ -83,6 +106,8 @@ def _resnet(units):
                 getattr(cfg.network, "HEAD_MARGIN_BINS", 1)
             ),
             pool_kernel=_pool_kernel(cfg),
+            bn_mode=bn_mode,
+            bn_groups=bn_groups,
         )
         kw.update(overrides)
         return SNIPERDetector(**kw)

@@ -56,17 +56,22 @@ class PreActBottleneck(nn.Module):
     deform: bool = False
     deform_groups: int = 4
     bn_momentum: float = 0.95
+    bn_mode: str = "sync"      # "local" -> per-device statistics
+    bn_groups: int = 1         # data-parallel device count for "local"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from sniper_tpu.models.norm import make_batch_norm
+
         mid = self.filters // 4
         use_ra = (not train) or self.fix_bn
 
         def bn(name):
-            return nn.BatchNorm(
+            return make_batch_norm(
                 use_running_average=use_ra, momentum=self.bn_momentum,
                 epsilon=BN_EPS, dtype=self.dtype, name=name,
+                bn_mode=self.bn_mode, bn_groups=self.bn_groups,
             )
 
         def conv(f, k, s, d, name):
@@ -114,6 +119,8 @@ class ResNetTrunk(nn.Module):
     filters: Sequence[int] = (64, 256, 512, 1024, 2048)
     deform_c5: bool = True
     bn_momentum: float = 0.95
+    bn_mode: str = "sync"      # network.BN_MODE: per-device stats = "local"
+    bn_groups: int = 1
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -142,12 +149,14 @@ class ResNetTrunk(nn.Module):
             h = PreActBottleneck(
                 self.filters[i + 1], stride=1 if i == 0 else 2, dim_match=False,
                 fix_bn=fix, bn_momentum=self.bn_momentum, dtype=self.dtype,
+                bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                 name=f"stage{i + 1}_unit1",
             )(h, train)
             for j in range(self.units[i] - 1):
                 h = PreActBottleneck(
                     self.filters[i + 1], dim_match=True, fix_bn=fix,
                     bn_momentum=self.bn_momentum, dtype=self.dtype,
+                    bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                     name=f"stage{i + 1}_unit{j + 2}",
                 )(h, train)
         c4 = h
@@ -156,12 +165,14 @@ class ResNetTrunk(nn.Module):
         h = PreActBottleneck(
             self.filters[4], stride=1, dim_match=False, dilation=2,
             deform=self.deform_c5, bn_momentum=self.bn_momentum,
+            bn_mode=self.bn_mode, bn_groups=self.bn_groups,
             dtype=self.dtype, name="stage4_unit1",
         )(c4, train)
         for j in range(self.units[3] - 1):
             h = PreActBottleneck(
                 self.filters[4], dim_match=True, dilation=2,
                 deform=self.deform_c5, bn_momentum=self.bn_momentum,
+                bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                 dtype=self.dtype, name=f"stage4_unit{j + 2}",
             )(h, train)
         return c4, h

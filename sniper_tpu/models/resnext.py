@@ -29,16 +29,21 @@ class ResNeXtUnit(nn.Module):
     num_groups: int = 64
     deform: bool = False
     bn_momentum: float = 0.95
+    bn_mode: str = "sync"      # "local" -> per-device statistics
+    bn_groups: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from sniper_tpu.models.norm import make_batch_norm
+
         use_ra = (not train) or self.fix_bn
 
         def bn(name):
-            return nn.BatchNorm(
+            return make_batch_norm(
                 use_running_average=use_ra, momentum=self.bn_momentum,
                 epsilon=BN_EPS, dtype=self.dtype, name=name,
+                bn_mode=self.bn_mode, bn_groups=self.bn_groups,
             )
 
         f = self.filters
@@ -90,6 +95,8 @@ class ResNeXtTrunk(nn.Module):
     filters: Sequence[int] = (64, 256, 512, 1024, 2048)
     num_groups: int = 64
     bn_momentum: float = 0.95
+    bn_mode: str = "sync"
+    bn_groups: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -112,14 +119,16 @@ class ResNeXtTrunk(nn.Module):
             h = ResNeXtUnit(
                 self.filters[i + 1], stride=1 if i == 0 else 2,
                 dim_match=False, fix_bn=fix, num_groups=self.num_groups,
-                bn_momentum=self.bn_momentum, dtype=self.dtype,
+                bn_momentum=self.bn_momentum, bn_mode=self.bn_mode,
+                bn_groups=self.bn_groups, dtype=self.dtype,
                 name=f"stage{i + 1}_unit1",
             )(h, train)
             for j in range(self.units[i] - 1):
                 h = ResNeXtUnit(
                     self.filters[i + 1], dim_match=True, fix_bn=fix,
                     num_groups=self.num_groups,
-                    bn_momentum=self.bn_momentum, dtype=self.dtype,
+                    bn_momentum=self.bn_momentum, bn_mode=self.bn_mode,
+                bn_groups=self.bn_groups, dtype=self.dtype,
                     name=f"stage{i + 1}_unit{j + 2}",
                 )(h, train)
         c4 = h
@@ -127,12 +136,14 @@ class ResNeXtTrunk(nn.Module):
         h = ResNeXtUnit(
             self.filters[4], stride=1, dim_match=False, deform=True,
             num_groups=self.num_groups, bn_momentum=self.bn_momentum,
+            bn_mode=self.bn_mode, bn_groups=self.bn_groups,
             dtype=self.dtype, name="stage4_unit1",
         )(c4, train)
         for j in range(self.units[3] - 1):
             h = ResNeXtUnit(
                 self.filters[4], dim_match=True, deform=True,
                 num_groups=self.num_groups, bn_momentum=self.bn_momentum,
+            bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                 dtype=self.dtype, name=f"stage4_unit{j + 2}",
             )(h, train)
         return c4, h
