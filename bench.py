@@ -470,7 +470,11 @@ def _bench_train_pipeline(b=16, n_images=96):
 
         def run_epoch():
             nonlocal state, key
-            staged = (shard_batch(mesh, bt) for bt in iter(loader))
+            # two-stage staging exactly like main_train: assembly and
+            # upload in separate threads (serial staging measured
+            # 934.9 ms/step vs ~420 upload + ~214 assembly + 175 step)
+            host_batches = Prefetcher(iter(loader))
+            staged = (shard_batch(mesh, bt) for bt in host_batches)
             pending = []
             n = 0
             for batch in Prefetcher(staged):
@@ -502,6 +506,29 @@ def _bench_train_pipeline(b=16, n_images=96):
             "train_pipeline_img_per_s": round(steps * b / dt, 2),
             "train_pipeline_steps": steps,
         }
+        # attribution: who owns the pipeline-vs-device gap (loader CPU
+        # on this host vs host->device transfer). Loader-only epoch:
+        t0 = time.perf_counter()
+        n_l = 0
+        for _ in iter(loader):
+            n_l += 1
+        out["loader_only_ms"] = round((time.perf_counter() - t0) / n_l * 1e3,
+                                      1)
+        # upload-only: device_put + forced completion of one held batch
+        held = next(iter(loader))
+
+        @jax.jit
+        def _touch(bt):
+            import jax.numpy as _jnp
+
+            return sum(_jnp.sum(v.astype(_jnp.float32))
+                       for v in jax.tree_util.tree_leaves(bt))
+
+        float(_touch(shard_batch(mesh, held)))  # compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            float(_touch(shard_batch(mesh, held)))
+        out["upload_only_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 1)
     return out
 
 

@@ -63,6 +63,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=100_000)
     ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--processes", type=int, default=0,
+                    help="TRAIN.NUM_PROCESS for the re-roll (reference "
+                         "Pool(64) analog; 0 = in-process)")
     ap.add_argument("--assembly-slots", type=int, default=256)
     args = ap.parse_args()
 
@@ -82,6 +85,7 @@ def main():
     cfg.TRAIN.CHIP_SIZE = 512
     cfg.TRAIN.USE_NEG_CHIPS = False
     cfg.TRAIN.NUM_THREAD = args.threads
+    cfg.TRAIN.NUM_PROCESS = args.processes
 
     # synthetic in-memory image: assembly cost without JPEG decode
     fake = rng.randint(0, 255, (640, 640, 3), dtype=np.uint8)
@@ -106,6 +110,7 @@ def main():
         "metric": "datagen_scale",
         "images": args.images,
         "threads": args.threads,
+        "processes": args.processes,
         "roidb_build_s": round(t_roidb, 1),
         "reset_s": round(t_reset, 1),
         "chips": n_chips,

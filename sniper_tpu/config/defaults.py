@@ -127,7 +127,12 @@ def default_config() -> AttrDict:
     t.AUTO_FOCUS_SMALL_THRESH = -1
     t.AUTO_FOCUS_DC_LOW = -1
     t.AUTO_FOCUS_DC_HIGH = -1
-    t.NUM_PROCESS = 8
+    # >1 -> the per-epoch chip re-roll maps over a spawn-based
+    # multiprocessing.Pool (the reference's Pool(NUM_PROCESS=64),
+    # MNIteratorE2E.py:47-53) — opt in on multi-core hosts at dataset
+    # scale; 0/1 keeps the in-process path (NUM_THREAD threads).
+    # Results are bit-identical either way (per-image seeds).
+    t.NUM_PROCESS = 0
     t.NUM_THREAD = 8
     t.lr = 0.0
     t.VALID_RANGES = ((-1, 80), (32, 150), (120, -1))

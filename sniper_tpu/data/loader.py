@@ -47,6 +47,38 @@ from sniper_tpu.chips.generator import ChipGenerator
 from sniper_tpu.data.anchor_targets import AnchorTargetAssigner, AutoFocusParams
 
 
+def _reroll_image(args):
+    """Per-image epoch re-roll unit: extract -> assign -> neg-sample.
+
+    Top-level (picklable) so TRAIN.NUM_PROCESS > 1 can map it over a
+    multiprocessing.Pool — the reference's Pool(NUM_PROCESS=64) analog
+    (/root/reference/lib/iterators/MNIteratorE2E.py:47-53). Takes a
+    MINIMAL image record (width/height/boxes/max_overlaps) and returns
+    (crops, props_in_chips, neg_chips, neg_props); the caller applies
+    them to the real roidb row. Bit-identical to the in-process path:
+    same per-image RandomState and the same rng consumption order.
+    """
+    (rmin, scales, ranges, chip_size, stride, use_cpp, use_neg,
+     n_neg_per_im, seed_i) = args
+    rng_i = np.random.RandomState(seed_i)
+    gen_i = ChipGenerator(chip_stride=stride, use_cpp=use_cpp, rng=rng_i)
+    rmin["crops"] = extract_chips(rmin, scales, ranges, chip_size, gen_i)
+    props, negs, negp = assign_boxes(
+        rmin, scales, ranges, chip_size, gen_i, use_neg_chips=use_neg,
+    )
+    crops = rmin["crops"]
+    props = list(props)
+    if use_neg and len(negs) > 0:
+        sel = np.arange(len(negs))
+        if len(negs) > n_neg_per_im:
+            sel = rng_i.permutation(sel)[:n_neg_per_im]
+        for ind in sel:
+            crops.append(negs[ind])
+            props.append(negp[ind].astype(np.int32))
+    return (crops, props, rmin.get("neg_chips"),
+            rmin.get("neg_props_in_chips"))
+
+
 def load_image_cv2(path):
     import cv2
 
@@ -203,32 +235,48 @@ class ChipLoader:
         scales, ranges = cfg.TRAIN.SCALES, cfg.TRAIN.VALID_RANGES
         epoch_seed = int(self.rng.randint(0, 2**31 - 1))
 
-        def image_chips(i):
-            r = self.roidb[i]
-            rng_i = np.random.RandomState((epoch_seed + i) % (2**31 - 1))
-            gen_i = gen.with_rng(rng_i)
-            r["crops"] = extract_chips(r, scales, ranges, self.chip_size,
-                                       gen_i)
-            props, negs, negp = assign_boxes(
-                r, scales, ranges, self.chip_size, gen_i,
-                use_neg_chips=cfg.TRAIN.USE_NEG_CHIPS,
-            )
-            r["props_in_chips"] = list(props)
-            if cfg.TRAIN.USE_NEG_CHIPS and len(negs) > 0:
-                sel = np.arange(len(negs))
-                if len(negs) > self.n_neg_per_im:
-                    sel = rng_i.permutation(sel)[: self.n_neg_per_im]
-                for ind in sel:
-                    r["crops"].append(negs[ind])
-                    r["props_in_chips"].append(negp[ind].astype(np.int32))
-            return len(r["crops"])
+        use_neg = bool(cfg.TRAIN.USE_NEG_CHIPS)
 
-        idxs = range(len(self.roidb))
-        if self._pool is not None:
-            counts = list(self._pool.map(image_chips, idxs))
+        def task(i):
+            r = self.roidb[i]
+            # minimal picklable record: only the fields extract/assign
+            # read (gt_masks etc. stay out of the IPC payload)
+            rmin = {k: r[k] for k in ("width", "height", "boxes",
+                                      "max_overlaps") if k in r}
+            if "proposal_scores" in r:
+                rmin["proposal_scores"] = r["proposal_scores"]
+            seed_i = (epoch_seed + i) % (2**31 - 1)
+            return (rmin, scales, ranges, self.chip_size, stride,
+                    cfg.TRAIN.CPP_CHIPS, use_neg, self.n_neg_per_im,
+                    seed_i)
+
+        tasks = [task(i) for i in range(len(self.roidb))]
+        nproc = int(getattr(cfg.TRAIN, "NUM_PROCESS", 0) or 0)
+        if nproc > 1:
+            # reference-style process pool (Pool(NUM_PROCESS),
+            # MNIteratorE2E.py:47-53): sidesteps the GIL for the
+            # CPU-bound re-roll on multi-core hosts. chunksize
+            # amortizes IPC; results are bit-identical to in-process
+            # (per-image seeds, no shared state). spawn, not fork: the
+            # parent holds live JAX threads and forking them deadlocks.
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            chunk = max(1, len(tasks) // (nproc * 4))
+            with ctx.Pool(nproc) as pool:
+                results = pool.map(_reroll_image, tasks, chunksize=chunk)
+        elif self._pool is not None:
+            results = list(self._pool.map(_reroll_image, tasks))
         else:
-            counts = [image_chips(i) for i in idxs]
-        chip_count = int(sum(counts))
+            results = [_reroll_image(t) for t in tasks]
+        chip_count = 0
+        for r, (crops, props, negs, negp) in zip(self.roidb, results):
+            r["crops"] = crops
+            r["props_in_chips"] = props
+            if negs is not None:
+                r["neg_chips"] = negs
+                r["neg_props_in_chips"] = negp
+            chip_count += len(crops)
         chipindex = []
         for i, r in enumerate(self.roidb):
             chipindex += [i] * len(r["crops"])

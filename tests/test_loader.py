@@ -346,3 +346,53 @@ def test_save_training_chip_fp32_reconstruction(tmp_path):
     p = save_training_chip(sample, pixel_means, str(tmp_path / "c.png"))
     back = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
     np.testing.assert_allclose(back.astype(int), rgb.astype(int), atol=1)
+
+
+def test_reroll_process_pool_matches_inprocess(rng):
+    """TRAIN.NUM_PROCESS > 1 (reference Pool(NUM_PROCESS) analog) must
+    produce bit-identical chips/assignments to the in-process re-roll:
+    same per-image seeds, same rng consumption order."""
+    from sniper_tpu.config import default_config
+    from sniper_tpu.data.loader import ChipLoader
+
+    def make(nproc):
+        cfg = default_config()
+        cfg.TRAIN.SCALES = [(-1, 128), (-1, 256)]
+        cfg.TRAIN.VALID_RANGES = [(-1, 60), (40, -1)]
+        cfg.TRAIN.CHIP_SIZE = 128
+        cfg.TRAIN.USE_NEG_CHIPS = True
+        cfg.TRAIN.NUM_PROCESS = nproc
+        cfg.TRAIN.NUM_THREAD = 1
+        r2 = np.random.RandomState(3)
+        roidb = []
+        for i in range(6):
+            n = 7
+            x1 = r2.uniform(0, 150, n)
+            y1 = r2.uniform(0, 120, n)
+            s = r2.uniform(10, 100, n)
+            boxes = np.stack(
+                [x1, y1, np.minimum(x1 + s, 255), np.minimum(y1 + s, 191)],
+                1).astype(np.float32)
+            # rows 0..4 gt, rows 5..6 proposals (overlap < 1)
+            mo = np.ones(n); mo[5:] = 0.5
+            roidb.append({
+                "image": f"im{i}", "width": 256, "height": 192,
+                "boxes": boxes, "max_overlaps": mo,
+                "max_classes": r2.randint(1, 5, n), "flipped": False,
+            })
+        loader = ChipLoader(roidb, cfg, batch_size=2, seed=11)
+        loader.reset()
+        return loader
+
+    a = make(0)
+    b = make(2)
+    assert a.size == b.size
+    assert [tuple(s) for s in a.schedule] == [tuple(s) for s in b.schedule]
+    for ra, rb in zip(a.roidb, b.roidb):
+        assert len(ra["crops"]) == len(rb["crops"])
+        for ca, cb in zip(ra["crops"], rb["crops"]):
+            np.testing.assert_array_equal(np.asarray(ca.box),
+                                          np.asarray(cb.box))
+            assert ca.scale_idx == cb.scale_idx
+        for pa, pb in zip(ra["props_in_chips"], rb["props_in_chips"]):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
