@@ -85,6 +85,10 @@ def tier_canvases(full_hw, round_to=64):
 class TestChipIterator:
     """Yields batch dicts over all (image, chip) pairs at one scale."""
 
+    # "Test" prefix = test-TIME iterator (reference MNIteratorTest
+    # naming), not a pytest test class
+    __test__ = False
+
     def __init__(self, roidb, cfg, scale_idx, batch_size,
                  image_loader=load_image_cv2, pixel_means=None):
         self.roidb = roidb

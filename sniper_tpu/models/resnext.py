@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sniper_tpu.models.resnet import sow_dcn_offset_stats
@@ -69,12 +70,40 @@ class ResNeXtUnit(nn.Module):
                 dilation=2, conv_groups=self.num_groups,
             ).astype(self.dtype)
         else:
-            h = nn.Conv(
-                f, (3, 3), strides=(self.stride, self.stride),
+            # Grouped 3x3 as a BLOCK-DIAGONAL dense conv. XLA lowers a
+            # 64-group/width-4 grouped conv with the [.., G, Cg] split
+            # carrying Cg=4 as the minormost (lane) dim, which the
+            # T(4,128) tiled layout pads 4 -> 128: a measured 32x
+            # memory expansion (692MB stage-1 activation -> 22.1GB HLO
+            # temp, HBM OOM at the 1408x1920 canvas). Expanding the
+            # grouped kernel to a dense [3,3,f,f] with zeros off the
+            # group blocks costs G x the (tiny) conv FLOPs on the MXU
+            # but keeps every tensor a clean [B,H,W,f] layout — the
+            # TPU-native formulation of ResNeXt's grouped conv. The
+            # param KEEPS the grouped shape [3,3,f/G,f] so reference
+            # checkpoints import unchanged; math is exactly equal
+            # (tests/test_model_variants.py block-diag parity test).
+            G = self.num_groups
+            cg = f // G
+            # same param name/shape as the deform branch's bare kernel
+            # so train/pretrained.py's conv2_kernel mapping row covers
+            # both (MXNet grouped weight [O,cg,3,3] -> [3,3,cg,O])
+            kernel = self.param(
+                "conv2_kernel",
+                nn.initializers.variance_scaling(2.0, "fan_out",
+                                                 "truncated_normal"),
+                (3, 3, cg, f), jnp.float32,
+            )
+            kr = kernel.reshape(3, 3, cg, G, f // G)
+            dense = jnp.einsum(
+                "xycgd,hg->xyhcgd", kr, jnp.eye(G, dtype=kernel.dtype)
+            ).reshape(3, 3, f, f)
+            h = jax.lax.conv_general_dilated(
+                h.astype(self.dtype), dense.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
                 padding=[(1, 1), (1, 1)],
-                feature_group_count=self.num_groups, use_bias=False,
-                dtype=self.dtype, name="conv2",
-            )(h)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         h = nn.relu(bn("bn2")(h)).astype(self.dtype)
         h = nn.Conv(f, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(h)

@@ -9,6 +9,7 @@ changes the actual output roi count.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sniper_tpu.config import load_config
 from sniper_tpu.models.registry import get_model
@@ -47,6 +48,8 @@ def test_registry_forwards_rpn_keys():
     assert abs(m.bg_thresh_lo - 0.05) < 1e-9
 
 
+# slow set: compiles two detector variants (~30s)
+@pytest.mark.slow
 def test_post_nms_override_changes_roi_count():
     # Small trunk so init/apply stay cheap; the override must change the
     # shape of the inference roi tensor.

@@ -4,6 +4,7 @@ and a literal NumPy oracle for the DCN ROI-pooling semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sniper_tpu.ops.deform import deformable_conv, deformable_psroi_pool
 
@@ -323,6 +324,8 @@ def test_psroi_fast_batched_path_matches_onehot(rng):
     np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), atol=1e-3)
 
 
+# slow set: 14x14 mask-config variant of the batched-path parity
+@pytest.mark.slow
 def test_psroi_fast_batched_pool14_mask_config(rng):
     """The mask branch routes pooled_size=14 through the batched path
     during training; check it against the one-hot path, values + trans
@@ -353,6 +356,8 @@ def test_psroi_fast_batched_pool14_mask_config(rng):
     np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), atol=1e-3)
 
 
+# slow set: head-level composition parity; component parity runs fast
+@pytest.mark.slow
 def test_rcnn_head_fused_matches_two_pool_composition(rng):
     """The single-loop fused head (one patch extraction) reproduces the
     reference-shaped two-pool + Dense composition bit-for-bit, values

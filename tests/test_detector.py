@@ -60,6 +60,9 @@ def test_infer_forward_shapes(tiny_detector):
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
 
 
+# slow set: full fwd+bwd grad-finiteness; the fast set's train-step
+# test (test_train_step.py) covers grads through the same graph
+@pytest.mark.slow
 def test_loss_and_grads_finite(tiny_detector):
     model, variables, (data, im_info, gt, vr) = tiny_detector
     n_total = A * FH * FW

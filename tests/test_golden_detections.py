@@ -17,6 +17,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,6 +25,8 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "golden_detections.json")
 
 
+# slow set: full 2-scale pipeline vs the frozen fixture (~15s)
+@pytest.mark.slow
 def test_pipeline_matches_golden_fixture():
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -1,6 +1,7 @@
 """ChipLoader end-to-end on synthetic images (no dataset needed)."""
 
 import numpy as np
+import pytest
 
 from sniper_tpu.config import default_config
 from sniper_tpu.data.loader import ChipLoader, Prefetcher, process_chip_image
@@ -348,6 +349,8 @@ def test_save_training_chip_fp32_reconstruction(tmp_path):
     np.testing.assert_allclose(back.astype(int), rgb.astype(int), atol=1)
 
 
+# slow set: spawns a 2-process pool (interpreter startup dominates)
+@pytest.mark.slow
 def test_reroll_process_pool_matches_inprocess(rng):
     """TRAIN.NUM_PROCESS > 1 (reference Pool(NUM_PROCESS) analog) must
     produce bit-identical chips/assignments to the in-process re-roll:

@@ -109,6 +109,8 @@ def test_mask_loss_ignores_invalid():
     assert float(l) == pytest.approx(np.log(2), rel=1e-5)
 
 
+# slow set: mask train forward (the mask e2e smokes also cover it)
+@pytest.mark.slow
 def test_mask_detector_train_forward():
     from sniper_tpu.models.detector import SNIPERDetector
 
@@ -203,6 +205,8 @@ def test_masks_to_results():
     assert res[0]["segmentation"]["size"] == [50, 60]
 
 
+# slow set: roi-cap desync regression; the mask e2e smokes cover it too
+@pytest.mark.slow
 def test_mask_detector_train_forward_caps_mask_rois():
     """num_mask_rois > num_rois must not desync shapes: the mask branch
     caps at the sampler's roi count (regression: TypeError reshape in

@@ -88,3 +88,30 @@ def test_mobilenetv2_detector_forward():
     out = model.apply(v, data, im_info, train=False)
     assert out["cls_prob"].shape == (1, 8, 5)
     assert out["rois"].shape == (1, 8, 5)
+
+
+def test_resnext_blockdiag_conv_matches_grouped(rng):
+    """The ResNeXt unit's block-diagonal dense formulation of the
+    grouped 3x3 (TPU layout fix: width-4 grouped convs lane-pad 32x)
+    must equal lax's feature_group_count conv exactly."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    G, cg, f = 8, 4, 32
+    x = jnp.asarray(rng.randn(2, 10, 12, f).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, cg, f).astype(np.float32))
+
+    ref = lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=G,
+    )
+    kr = kernel.reshape(3, 3, cg, G, f // G)
+    dense = jnp.einsum(
+        "xycgd,hg->xyhcgd", kr, jnp.eye(G, dtype=kernel.dtype)
+    ).reshape(3, 3, f, f)
+    got = lax.conv_general_dilated(
+        x, dense, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

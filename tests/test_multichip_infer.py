@@ -88,6 +88,8 @@ def test_num_devices_requires_explicit_opt_in():
     assert _test_num_devices(cfg) == 4
 
 
+# slow set: DP parity variants beyond the core single-vs-DP check
+@pytest.mark.slow
 def test_dp_forward_uint8_matches_fp32(mv):
     """uint8 canvases through the DP forward (device_normalize inside
     the jitted fn, batch sharded over 2 devices) must match the fp32
@@ -113,6 +115,7 @@ def test_dp_forward_uint8_matches_fp32(mv):
         )
 
 
+@pytest.mark.slow
 def test_dp_forward_fused_pool_shard_map_matches_single(mv):
     """Explicit POOL_KERNEL=fused under multi-device inference: the
     shard_map forward (which keeps the Pallas pool usable — no sharding

@@ -147,6 +147,8 @@ def test_vjp_grads_match_einsum_autodiff(rng, margin_bins, fc_scale):
         np.testing.assert_allclose(a, b, atol=tol, err_msg=name)
 
 
+# slow set: the pool-count tie corner; the main VJP grad parity runs fast
+@pytest.mark.slow
 def test_vjp_pool_count_tie_grads(rng):
     """Valid-count tie (n == 1.0) subgradient: jnp.maximum autodiff
     splits the tie in half, so the divisor gradient at n == 1.0 is
@@ -192,6 +194,8 @@ def test_vjp_pool_count_tie_grads(rng):
         np.testing.assert_allclose(a, b, atol=tol, err_msg=name)
 
 
+# slow set: head-level grad parity; the VJP-level grad parity runs fast
+@pytest.mark.slow
 def test_head_train_grads_fused_matches_einsum(rng):
     """Head-level training plumbing: grads of a scalar loss wrt ALL head
     params (offset FC, fc6/fc7, cls/bbox) agree between the einsum and
@@ -224,6 +228,8 @@ def test_head_train_grads_fused_matches_einsum(rng):
                                    err_msg=jax.tree_util.keystr(pa))
 
 
+# slow set: telemetry parity (the clamp math also runs in train smokes)
+@pytest.mark.slow
 def test_offset_stats_parity_and_clamp_math(rng):
     """return_offset_stats: the raw offset-FC output agrees between the
     einsum path and the fused Pallas VJP path, and the documented clamp

@@ -47,6 +47,9 @@ def test_scale_post_nms_resolution():
     assert main_test._scale_post_nms(cfg, 1, None) == 0
 
 
+# slow set: builds per-scale forwards (~18s); the resolution unit test
+# and the realdata smoke's AP-neutrality check cover the semantics
+@pytest.mark.slow
 def test_run_detection_clones_model_per_scale(tmp_path, monkeypatch):
     """run_detection builds a per-scale forward with the list's count
     (and reuses the base model where the count matches), and the rois

@@ -164,6 +164,8 @@ def test_npz_and_prefix_resolution(tmp_path, rng):
         resolve_pretrained_path(str(tmp_path / "nope"), 0)
 
 
+# slow set: torch-oracle forward parity (drift guard, 40s)
+@pytest.mark.slow
 def test_torch_forward_parity(rng):
     """Import a torch-built pre-act ResNet's weights (exported under the
     MXNet names/layouts) and check the flax trunk computes the same
