@@ -101,12 +101,14 @@ def gmask(mask, d, thresh_value=0.5, ms=16, im_width=0, im_height=0, cscale=1.0)
 
 
 def _scale_for(width, height, spec):
-    lo, hi = float(spec[0]), float(spec[1])
-    mn, mx = float(min(width, height)), float(max(width, height))
-    sc = lo / mn
-    if np.round(sc * mx) > hi:
-        sc = hi / mx
-    return sc
+    # the one resize rule everywhere (a private near-duplicate here
+    # used to divide by lo even for [-1, hi] specs, yielding a NEGATIVE
+    # scale — gmask then clipped every FocusChip to the whole image and
+    # AutoFocus silently degenerated to full-pyramid inference on any
+    # [-1, hi] coarse scale; regression-tested in test_autofocus.py)
+    from sniper_tpu.data.test_loader import scale_for_image
+
+    return scale_for_image(width, height, spec)
 
 
 def add_chips(roidb, maps, scale_id, cfg):

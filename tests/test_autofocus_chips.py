@@ -73,3 +73,32 @@ def test_add_chips_no_focus_pixels():
     maps = [[np.zeros((30, 40), np.float32)]]
     add_chips(roidb, maps, 0, cfg)
     assert roidb[0]["inference_crops"].shape[0] == 0
+
+
+def test_add_chips_negative_lo_scale_spec():
+    """[-1, hi] coarse scales must not degenerate FocusChips.
+
+    Regression: add_chips' private resize rule divided by lo even for
+    [-1, hi] specs, producing a NEGATIVE im_scale; gmask then clipped
+    every chip to the whole image, silently turning AutoFocus into
+    full-pyramid inference (and reporting >=100% "percent of pixels").
+    Now it shares data.test_loader.scale_for_image.
+    """
+    cfg = default_config()
+    cfg.TEST.SCALES = [(-1, 240), (-1, 768)]
+    cfg.TEST.CHIP_HYPERPARAMS = [(2, 0.35, 4), (-1, -1, -1)]
+    roidb = [{
+        "width": 960, "height": 768,
+        "inference_crops": np.array([[0.0, 0, 960, 768]]),
+    }]
+    # coarse canvas 240x192 -> 12x15 cell map with one localized blob
+    m = np.zeros((12, 15), np.float32)
+    m[2:5, 3:7] = 0.9
+    chip_area, total_area = add_chips(roidb, [[m]], 0, cfg)
+    crops = roidb[0]["inference_crops"]
+    assert crops.shape[0] == 1
+    x1, y1, x2, y2 = crops[0]
+    # chip is a LOCAL region around the blob, not the whole canvas
+    assert 0 <= x1 < x2 <= 960 and 0 <= y1 < y2 <= 768
+    assert (x2 - x1) * (y2 - y1) < 0.5 * 960 * 768
+    assert 0 < chip_area < 0.5 * total_area
