@@ -210,7 +210,7 @@ def main():
             not cfg.TRAIN.ONLY_PROPOSAL:
         from sniper_tpu.train.vis_dump import PredictionDumper
 
-        dumper = PredictionDumper(model, cfg, out_dir)
+        dumper = PredictionDumper(model, cfg)
     for epoch in range(cfg.TRAIN.begin_epoch, cfg.TRAIN.end_epoch):
         if epoch > cfg.TRAIN.begin_epoch:
             n_chips = loader.reset()

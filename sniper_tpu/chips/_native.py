@@ -43,11 +43,23 @@ class _CppCover:
         return out[:n].tolist()
 
 
+_CACHED: list = []  # [handle-or-None]; dlopen once per process
+
+
 def load() -> _CppCover | None:
-    """Load the native kernel; None when not built (NumPy fallback used)."""
-    if not os.path.exists(_SO):
-        return None
-    try:
-        return _CppCover(ctypes.CDLL(_SO))
-    except OSError:
-        return None
+    """Load the native kernel; None when not built (NumPy fallback used).
+
+    Cached at module level: the per-epoch re-roll builds a
+    ChipGenerator per image, and an uncached load() would re-stat +
+    re-dlopen the .so once per image per epoch (100k syscalls/epoch at
+    dataset scale).
+    """
+    if not _CACHED:
+        if not os.path.exists(_SO):
+            _CACHED.append(None)
+        else:
+            try:
+                _CACHED.append(_CppCover(ctypes.CDLL(_SO)))
+            except OSError:
+                _CACHED.append(None)
+    return _CACHED[0]

@@ -215,6 +215,32 @@ class ChipLoader:
             ThreadPoolExecutor(max_workers=self.num_workers)
             if self.num_workers > 1 else None
         )
+        self._reroll_pool = None  # lazy spawn Pool, lives until close()
+
+    def _mp_pool(self, nproc: int):
+        """The TRAIN.NUM_PROCESS re-roll pool, created once and reused
+        across epochs (spawn startup + imports are seconds; paying them
+        per reset() would dwarf the re-roll at NUM_PROCESS=64)."""
+        if self._reroll_pool is None or self._reroll_nproc != nproc:
+            self.close()
+            import multiprocessing as mp
+
+            self._reroll_pool = mp.get_context("spawn").Pool(nproc)
+            self._reroll_nproc = nproc
+        return self._reroll_pool
+
+    def close(self):
+        """Terminate the re-roll process pool (idempotent)."""
+        if getattr(self, "_reroll_pool", None) is not None:
+            self._reroll_pool.terminate()
+            self._reroll_pool.join()
+            self._reroll_pool = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
 
     def reset(self):
         """Per-epoch chip pipeline; returns total chip count.
@@ -243,8 +269,6 @@ class ChipLoader:
             # read (gt_masks etc. stay out of the IPC payload)
             rmin = {k: r[k] for k in ("width", "height", "boxes",
                                       "max_overlaps") if k in r}
-            if "proposal_scores" in r:
-                rmin["proposal_scores"] = r["proposal_scores"]
             seed_i = (epoch_seed + i) % (2**31 - 1)
             return (rmin, scales, ranges, self.chip_size, stride,
                     cfg.TRAIN.CPP_CHIPS, use_neg, self.n_neg_per_im,
@@ -259,12 +283,13 @@ class ChipLoader:
             # amortizes IPC; results are bit-identical to in-process
             # (per-image seeds, no shared state). spawn, not fork: the
             # parent holds live JAX threads and forking them deadlocks.
-            import multiprocessing as mp
-
-            ctx = mp.get_context("spawn")
+            # The pool is created ONCE and reused across epochs (the
+            # reference keeps its Pool for the iterator's lifetime) —
+            # spawning N interpreters per reset() would pay full
+            # startup + imports every epoch.
             chunk = max(1, len(tasks) // (nproc * 4))
-            with ctx.Pool(nproc) as pool:
-                results = pool.map(_reroll_image, tasks, chunksize=chunk)
+            results = self._mp_pool(nproc).map(
+                _reroll_image, tasks, chunksize=chunk)
         elif self._pool is not None:
             results = list(self._pool.map(_reroll_image, tasks))
         else:

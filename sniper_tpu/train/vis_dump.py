@@ -27,12 +27,14 @@ import numpy as np
 
 
 class PredictionDumper:
-    def __init__(self, model, cfg, out_dir: str):
+    def __init__(self, model, cfg):
         self.model = model
         self.cfg = cfg
-        self.dir = os.path.join(
-            out_dir, str(cfg.TRAIN.visualization_path), "preds"
-        )
+        # same base as the loader's GT-side chip rendering
+        # (data/loader.py vis_path — TRAIN.visualization_path, resolved
+        # from the cwd like the reference's debug/visualization), so the
+        # paired GT-vs-prediction artifacts land in one tree
+        self.dir = os.path.join(str(cfg.TRAIN.visualization_path), "preds")
         self.freq = max(int(cfg.TRAIN.visualization_freq or 100), 1)
         self._fwd = None
 
@@ -81,9 +83,12 @@ class PredictionDumper:
                      "batch_stats": state.batch_stats}
         out = np.asarray(self._forward()(variables, data, im_info, extent))
         d = unpack_detections(out, self.model.num_classes)
-        rois = d["rois"][0]
-        probs = d["cls_prob"][0]
-        deltas = d["bbox_pred"][0]
+        # drop padded roi slots (the test branch pads rois to
+        # post_nms_top_n; their garbage scores would draw phantom boxes)
+        valid = np.asarray(d["roi_valid"][0])
+        rois = d["rois"][0][valid]
+        probs = d["cls_prob"][0][valid]
+        deltas = d["bbox_pred"][0][valid]
         boxes = decode(rois[:, 1:], deltas)
         boxes = clip_boxes(boxes, im_info[0][:2])
 

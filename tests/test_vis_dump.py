@@ -42,7 +42,8 @@ def test_prediction_dumper_writes_pkl_and_jpg(tmp_path, rng):
     )
     state = create_train_state(model, cfg, batch, optax.sgd(0.1))
 
-    dumper = PredictionDumper(model, cfg, str(tmp_path))
+    cfg.TRAIN.visualization_path = str(tmp_path / "debug" / "visualization")
+    dumper = PredictionDumper(model, cfg)
     # off-cadence -> no dump, no forward built
     assert dumper.maybe_dump(state, batch, step=3) is None
     assert dumper._fwd is None
