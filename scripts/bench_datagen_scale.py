@@ -99,6 +99,11 @@ def main():
     n_chips = loader.reset()
     t_reset = time.perf_counter() - t0
     rss_reset = rss_mb()
+    # steady-state epoch: with TRAIN.NUM_PROCESS the spawn pool now
+    # persists across resets, so epoch 2+ skips interpreter startup
+    t0 = time.perf_counter()
+    loader.reset()
+    t_reset2 = time.perf_counter() - t0
 
     n_slots = min(args.assembly_slots, len(loader.schedule))
     t0 = time.perf_counter()
@@ -113,6 +118,7 @@ def main():
         "processes": args.processes,
         "roidb_build_s": round(t_roidb, 1),
         "reset_s": round(t_reset, 1),
+        "reset2_s": round(t_reset2, 1),
         "chips": n_chips,
         "reset_chips_per_s": round(n_chips / t_reset, 1),
         "reset_images_per_s": round(args.images / t_reset, 1),
