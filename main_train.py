@@ -232,6 +232,10 @@ def main():
         def _tap(b):
             if dumper is not None:
                 last_host["batch"] = b
+                # this batch's own loader sequence index — recorded in
+                # the dump payload so the pkl never claims step/batch
+                # alignment it doesn't have (prefetch skew)
+                last_host["seq"] = last_host.get("seq", -1) + 1
             return b
 
         # TWO pipeline stages, each with its own thread: batch ASSEMBLY
@@ -268,7 +272,8 @@ def main():
                 # prediction-side debug dump (VisMetric analog); the
                 # rendered chip may be prefetch-depth steps ahead of the
                 # stepped batch — fine for a debug artifact
-                p = dumper.maybe_dump(state, last_host["batch"], step)
+                p = dumper.maybe_dump(state, last_host["batch"], step,
+                                      batch_seq=last_host.get("seq"))
                 if p:
                     logger.info(f"dumped predictions to {p}")
         _flush()

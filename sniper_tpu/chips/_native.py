@@ -54,12 +54,18 @@ def load() -> _CppCover | None:
     re-dlopen the .so once per image per epoch (100k syscalls/epoch at
     dataset scale).
     """
-    if not _CACHED:
-        if not os.path.exists(_SO):
-            _CACHED.append(None)
-        else:
+    # only SUCCESSFUL loads are pinned: a None (missing/broken .so) is
+    # re-tried on the next call, so building libsniper_chips.so mid-
+    # process picks up the native kernel instead of silently keeping
+    # the NumPy fallback for the process lifetime. The re-try is one
+    # os.path.exists stat — cheap even per-image.
+    if not _CACHED or _CACHED[0] is None:
+        handle = None
+        if os.path.exists(_SO):
             try:
-                _CACHED.append(_CppCover(ctypes.CDLL(_SO)))
+                handle = _CppCover(ctypes.CDLL(_SO))
             except OSError:
-                _CACHED.append(None)
+                handle = None
+        _CACHED.clear()
+        _CACHED.append(handle)
     return _CACHED[0]

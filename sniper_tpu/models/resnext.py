@@ -157,7 +157,7 @@ class ResNeXtTrunk(nn.Module):
                     self.filters[i + 1], dim_match=True, fix_bn=fix,
                     num_groups=self.num_groups,
                     bn_momentum=self.bn_momentum, bn_mode=self.bn_mode,
-                bn_groups=self.bn_groups, dtype=self.dtype,
+                    bn_groups=self.bn_groups, dtype=self.dtype,
                     name=f"stage{i + 1}_unit{j + 2}",
                 )(h, train)
         c4 = h
@@ -172,7 +172,7 @@ class ResNeXtTrunk(nn.Module):
             h = ResNeXtUnit(
                 self.filters[4], dim_match=True, deform=True,
                 num_groups=self.num_groups, bn_momentum=self.bn_momentum,
-            bn_mode=self.bn_mode, bn_groups=self.bn_groups,
+                bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                 dtype=self.dtype, name=f"stage4_unit{j + 2}",
             )(h, train)
         return c4, h

@@ -61,11 +61,17 @@ class PredictionDumper:
             self._fwd = fwd
         return self._fwd
 
-    def maybe_dump(self, state, host_batch, step: int):
+    def maybe_dump(self, state, host_batch, step: int,
+                   batch_seq: int | None = None):
         """Dump iff ``step`` is on the cadence. Returns the pkl path or
-        None. ``host_batch`` is the raw (pre-shard) loader batch."""
+        None. ``host_batch`` is the raw (pre-shard) loader batch;
+        ``batch_seq`` is that batch's own loader sequence index — it can
+        trail ``step`` by up to prefetch depth, and the pkl records both
+        so the artifact never claims an alignment that isn't there."""
         if step % self.freq:
             return None
+        import jax
+
         from sniper_tpu.infer.tester import unpack_detections
         from sniper_tpu.ops.boxes import bbox_pred as decode
         from sniper_tpu.ops.boxes import clip_boxes
@@ -81,6 +87,12 @@ class PredictionDumper:
         )
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+        if len(jax.devices()) > 1:
+            # on a multi-device mesh the train state is sharded by the
+            # partitioned step; this debug forward is a plain jit, so
+            # pull the (replicated-or-sharded) variables to host first —
+            # debug-only cost, paid once per cadence
+            variables = jax.device_get(variables)
         out = np.asarray(self._forward()(variables, data, im_info, extent))
         d = unpack_detections(out, self.model.num_classes)
         # drop padded roi slots (the test branch pads rois to
@@ -107,6 +119,9 @@ class PredictionDumper:
             pickle.dump(
                 {
                     "step": step,
+                    # loader sequence index of THIS batch (may trail
+                    # `step` by prefetch depth; see docstring)
+                    "batch_seq": batch_seq,
                     "dets": per_class,
                     "rois": rois,
                     "cls_prob": probs,
