@@ -374,7 +374,7 @@ def _bench_train_step(peak, b=16, chip=512):
     return out
 
 
-def _bench_train_pipeline(b=16, n_images=96):
+def _bench_train_pipeline(b=16, n_images=96, loader_process=False):
     """The rate a real training run pays, not the device ceiling.
 
     Runs the EXACT main_train.py inner loop — ChipLoader over real JPEG
@@ -452,10 +452,16 @@ def _bench_train_pipeline(b=16, n_images=96):
                 "flipped": False,
             })
 
-        loader = ChipLoader(roidb, cfg, batch_size=b, seed=0)
+        if loader_process:
+            from sniper_tpu.data.shm_loader import ProcessChipLoader
+
+            loader = ProcessChipLoader(roidb, cfg, batch_size=b, seed=0)
+        else:
+            loader = ChipLoader(roidb, cfg, batch_size=b, seed=0)
         mesh = make_mesh(1)
         n_chips = loader.reset()
-        sample = next(iter(loader))
+        sample = (loader.sample_batch() if hasattr(loader, "sample_batch")
+                  else next(iter(loader)))
         state = create_train_state(model, cfg, sample, optax.sgd(0.1))
         tx, _ = make_optimizer(cfg, epoch_size=max(len(loader), 1),
                                params=state.params)
@@ -515,7 +521,8 @@ def _bench_train_pipeline(b=16, n_images=96):
         out["loader_only_ms"] = round((time.perf_counter() - t0) / n_l * 1e3,
                                       1)
         # upload-only: device_put + forced completion of one held batch
-        held = next(iter(loader))
+        held = (loader.sample_batch() if hasattr(loader, "sample_batch")
+                else next(iter(loader)))
 
         @jax.jit
         def _touch(bt):

@@ -146,7 +146,18 @@ def main():
     roidb = shard_roidb(build_roidb(cfg, logger), pid, nprocs)
     if nprocs > 1:
         logger.info(f"process {pid}: {len(roidb)} roidb images")
-    loader = ChipLoader(roidb, cfg, local_batch, seed=cfg.TRAIN.seed + pid)
+    if bool(getattr(cfg.TRAIN, "LOADER_PROCESS", False)):
+        # batch ASSEMBLY in a spawned process over shared memory: the
+        # training interpreter does only relay framing + step dispatch
+        # (data/shm_loader.py; A/B'd on this box by
+        # scripts/profile_pipeline_process.py)
+        from sniper_tpu.data.shm_loader import ProcessChipLoader
+
+        loader = ProcessChipLoader(roidb, cfg, local_batch,
+                                   seed=cfg.TRAIN.seed + pid)
+    else:
+        loader = ChipLoader(roidb, cfg, local_batch,
+                            seed=cfg.TRAIN.seed + pid)
 
     # explicit POOL_KERNEL=fused is a single-device (or shard_map
     # inference) backend: inside the auto-partitioned TRAIN jit a
@@ -161,7 +172,8 @@ def main():
     logger.info(f"epoch 0: {n_chips} chips")
     epoch_size = max(len(loader), 1)
 
-    sample = next(iter(loader))
+    sample = (loader.sample_batch() if hasattr(loader, "sample_batch")
+              else next(iter(loader)))
     state = create_train_state(model, cfg, sample, optax.sgd(0.1),
                                seed=cfg.TRAIN.seed)
     if str(cfg.network.pretrained or "").strip():
@@ -245,10 +257,14 @@ def main():
         # upload of a 16-chip uint8 batch costs ~300-420 ms — serial
         # staging made the step pay assembly + upload + compute
         # (934.9 ms measured); the split pays ~max of the three.
-        host_batches = Prefetcher(
-            _tap(b) for b in itertools.islice(iter(loader),
-                                              steps_this_epoch)
-        )
+        epoch_iter = iter(loader)
+        if steps_this_epoch < len(loader):
+            # multi-host truncation to the global min only; an
+            # unconditional islice would abandon the epoch generator
+            # one step early, which costs ProcessChipLoader a child
+            # respawn every epoch
+            epoch_iter = itertools.islice(epoch_iter, steps_this_epoch)
+        host_batches = Prefetcher(_tap(b) for b in epoch_iter)
         staged = (shard_batch(mesh, b) for b in host_batches)
         pending: list = []
 

@@ -105,6 +105,16 @@ def default_config() -> AttrDict:
     # /root/reference/README.md:10 trains per-GPU BN). Single-device
     # runs are identical either way; inference is always identical.
     n.BN_MODE = "sync"
+    # ResNeXt grouped-3x3 formulation (models/resnext.py): number of
+    # lane-aligned supergroups for the block-diagonal dense expansion.
+    # 1 = full dense [f,f] expansion (64x grouped FLOPs, every tensor
+    # T(8,128)-clean); SG>1 = feature_group_count=SG supergroups at
+    # 64/SG x the FLOPs. v5e A/B (scripts/profile_supergroups.py):
+    # SG=4 is 12-20% faster at <=832x1088 canvases and the train
+    # shape but 10% SLOWER at 1408x1920, which dominates the
+    # multi-scale pyramid — so the default stays 1; set 4 for
+    # training or small-canvas serving.
+    n.RESNEXT_SUPERGROUPS = 1
 
     # dataset
     d = c.dataset = AttrDict()
@@ -134,6 +144,12 @@ def default_config() -> AttrDict:
     # Results are bit-identical either way (per-image seeds).
     t.NUM_PROCESS = 0
     t.NUM_THREAD = 8
+    # run batch ASSEMBLY (the whole ChipLoader) in a spawned child
+    # process over shared memory, leaving this interpreter only relay
+    # framing + step dispatch (data/shm_loader.py). Bit-parity tested
+    # (tests/test_shm_loader.py); A/B'd on this box by
+    # scripts/profile_pipeline_process.py.
+    t.LOADER_PROCESS = False
     t.lr = 0.0
     t.VALID_RANGES = ((-1, 80), (32, 150), (120, -1))
     t.SCALES = (3.0, 1.667, 512.0)

@@ -42,12 +42,21 @@ class SNIPERDetector(nn.Module):
     units: Sequence[int] = (3, 4, 23, 3)
     head_fc_dim: int = 1024
     num_trunk_groups: int = 1  # >1 -> ResNeXt grouped convs
+    # ResNeXt grouped-3x3 formulation: lane-aligned supergroup count
+    # (network.RESNEXT_SUPERGROUPS; models/resnext.py). 1 = full
+    # block-diagonal dense expansion; 2 = two 128-lane-aligned
+    # feature groups at half the dense FLOPs.
+    trunk_supergroups: int = 1
     autofocus: bool = False
     with_mask: bool = False
     rpn_only: bool = False  # TRAIN.ONLY_PROPOSAL: RPN phase of the
     # neg-chip pipeline (reference get_symbol_rpn, :157-227)
     num_mask_rois: int = 50
     mask_size: int = 28
+    # mask-head kernel init override (None = the reference-faithful
+    # normal(0.01); see models/heads.MaskHead.kernel_init for the
+    # measured burn-in rationale — smokes pass a He init)
+    mask_head_init: Any = None
     # R-CNN head stencil-pool halo in bins (network.HEAD_MARGIN_BINS);
     # trained offsets beyond it clamp — see ops.deform.rcnn_head_fused.
     # Default 1 (patch 44->36 cells/axis, head ~25-35% faster): trained
@@ -116,6 +125,7 @@ class SNIPERDetector(nn.Module):
             c4, c5 = ResNeXtTrunk(
                 units=self.units, num_groups=self.num_trunk_groups,
                 bn_mode=self.bn_mode, bn_groups=self.bn_groups,
+                supergroups=self.trunk_supergroups,
                 dtype=self.dtype, name="trunk",
             )(data, train=train)
             # concat stays in trunk dtype: the RPN/conv_new convs over the
@@ -241,7 +251,10 @@ class SNIPERDetector(nn.Module):
                     spatial_scale=1.0 / self.feat_stride,
                     margin_bins=self.head_margin_bins, roi_chunk=b,
                 ).reshape(-1, 14, 14, C_m)
-                logits = MaskHead(self.num_classes - 1, name="mask")(pooled)
+                mh_kw = ({"kernel_init": self.mask_head_init}
+                         if self.mask_head_init is not None else {})
+                logits = MaskHead(self.num_classes - 1, name="mask",
+                                  **mh_kw)(pooled)
                 # masks ship uint8 {0,1} (4x fewer host->device bytes);
                 # the bilinear crop-resize needs float
                 if jnp.issubdtype(gt_masks.dtype, jnp.integer):

@@ -121,6 +121,13 @@ def _resnext(units):
     def build(cfg, **overrides):
         overrides.setdefault("trunk_type", "resnext")
         overrides.setdefault("num_trunk_groups", 64)
+        # grouped-3x3 formulation (models/resnext.py): supergroup
+        # count for the block-diagonal expansion, A/B'd on the v5e by
+        # scripts/profile_supergroups.py
+        overrides.setdefault(
+            "trunk_supergroups",
+            int(getattr(cfg.network, "RESNEXT_SUPERGROUPS", 1)),
+        )
         return base(cfg, **overrides)
 
     return build

@@ -32,6 +32,9 @@ class ResNeXtUnit(nn.Module):
     bn_momentum: float = 0.95
     bn_mode: str = "sync"      # "local" -> per-device statistics
     bn_groups: int = 1
+    # lane-aligned supergroup count for the non-deform grouped 3x3
+    # (feature_group_count); 1 = full block-diagonal dense expansion
+    supergroups: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -83,6 +86,22 @@ class ResNeXtUnit(nn.Module):
             # param KEEPS the grouped shape [3,3,f/G,f] so reference
             # checkpoints import unchanged; math is exactly equal
             # (tests/test_model_variants.py block-diag parity test).
+            #
+            # supergroups > 1 is the intermediate formulation: the G
+            # groups are packed into SG lane-aligned SUPERGROUPS of
+            # G/SG groups each (feature_group_count=SG, block-diagonal
+            # dense within each supergroup) at SG x fewer FLOPs than
+            # the full dense expansion. Measured on the v5e
+            # (scripts/profile_supergroups.py, round 5): SG=2/4 win
+            # 13-20% at the 512x640 and 832x1088 canvases and 12-15%
+            # at the 16x512^2 train shape, but LOSE 10-20% at the
+            # 1408x1920 canvas (541 ms dense vs 652/594) — the large
+            # canvas is bandwidth-bound, where the grouped form's
+            # smaller per-group contraction hurts MXU utilization
+            # without reducing HBM traffic. The multi-scale pyramid is
+            # large-canvas-dominated (209 ms/img dense vs 228/213), so
+            # the default stays 1; set network.RESNEXT_SUPERGROUPS=4
+            # for training or small-canvas-dominated serving.
             G = self.num_groups
             cg = f // G
             # same param name/shape as the deform branch's bare kernel
@@ -94,15 +113,31 @@ class ResNeXtUnit(nn.Module):
                                                  "truncated_normal"),
                 (3, 3, cg, f), jnp.float32,
             )
-            kr = kernel.reshape(3, 3, cg, G, f // G)
-            dense = jnp.einsum(
-                "xycgd,hg->xyhcgd", kr, jnp.eye(G, dtype=kernel.dtype)
-            ).reshape(3, 3, f, f)
+            SG = max(int(self.supergroups), 1)
+            if SG == 1:
+                kr = kernel.reshape(3, 3, cg, G, f // G)
+                dense = jnp.einsum(
+                    "xycgd,hg->xyhcgd", kr, jnp.eye(G, dtype=kernel.dtype)
+                ).reshape(3, 3, f, f)
+            else:
+                assert G % SG == 0, (self.num_groups, SG)
+                gs, d = G // SG, f // G
+                # channel layout is group-major on both sides, so
+                # supergroup s owns CONTIGUOUS input/output channel
+                # blocks [s*f/SG, (s+1)*f/SG) — exactly XLA's
+                # feature_group_count slicing; block-diag over the gs
+                # groups within each supergroup
+                kr = kernel.reshape(3, 3, cg, SG, gs, d)
+                dense = jnp.einsum(
+                    "xycsgd,hg->xyhcsgd", kr,
+                    jnp.eye(gs, dtype=kernel.dtype),
+                ).reshape(3, 3, gs * cg, f)
             h = jax.lax.conv_general_dilated(
                 h.astype(self.dtype), dense.astype(self.dtype),
                 window_strides=(self.stride, self.stride),
                 padding=[(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=SG,
             )
         h = nn.relu(bn("bn2")(h)).astype(self.dtype)
         h = nn.Conv(f, (1, 1), use_bias=False, dtype=self.dtype,
@@ -126,6 +161,7 @@ class ResNeXtTrunk(nn.Module):
     bn_momentum: float = 0.95
     bn_mode: str = "sync"
     bn_groups: int = 1
+    supergroups: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -149,15 +185,16 @@ class ResNeXtTrunk(nn.Module):
                 self.filters[i + 1], stride=1 if i == 0 else 2,
                 dim_match=False, fix_bn=fix, num_groups=self.num_groups,
                 bn_momentum=self.bn_momentum, bn_mode=self.bn_mode,
-                bn_groups=self.bn_groups, dtype=self.dtype,
-                name=f"stage{i + 1}_unit1",
+                bn_groups=self.bn_groups, supergroups=self.supergroups,
+                dtype=self.dtype, name=f"stage{i + 1}_unit1",
             )(h, train)
             for j in range(self.units[i] - 1):
                 h = ResNeXtUnit(
                     self.filters[i + 1], dim_match=True, fix_bn=fix,
                     num_groups=self.num_groups,
                     bn_momentum=self.bn_momentum, bn_mode=self.bn_mode,
-                    bn_groups=self.bn_groups, dtype=self.dtype,
+                    bn_groups=self.bn_groups,
+                    supergroups=self.supergroups, dtype=self.dtype,
                     name=f"stage{i + 1}_unit{j + 2}",
                 )(h, train)
         c4 = h

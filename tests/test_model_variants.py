@@ -115,3 +115,58 @@ def test_resnext_blockdiag_conv_matches_grouped(rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resnext_supergroup_conv_matches_grouped(rng):
+    """The supergroup formulation (feature_group_count=SG with
+    block-diagonal expansion WITHIN each supergroup — the 32x-FLOPs
+    middle ground between the grouped conv and the full dense
+    expansion) must also equal lax's feature_group_count=G conv, for
+    every SG that divides G."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    G, cg, f = 8, 4, 32
+    x = jnp.asarray(rng.randn(2, 10, 12, f).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, cg, f).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=G,
+    )
+    for SG in (2, 4):
+        gs, d = G // SG, f // G
+        kr = kernel.reshape(3, 3, cg, SG, gs, d)
+        dense = jnp.einsum(
+            "xycsgd,hg->xyhcsgd", kr, jnp.eye(gs, dtype=kernel.dtype)
+        ).reshape(3, 3, gs * cg, f)
+        got = lax.conv_general_dilated(
+            x, dense, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=SG,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"SG={SG}")
+
+
+def test_resnext_unit_supergroups_same_params_same_output(rng):
+    """supergroups is a pure FORMULATION switch on ResNeXtUnit: the
+    param tree is identical (grouped [3,3,cg,f] kernel) and the output
+    must match between supergroups=1 (shipped dense expansion) and
+    supergroups=2 applied to the SAME variables — so checkpoints move
+    freely between formulations."""
+    import jax
+    import jax.numpy as jnp
+
+    from sniper_tpu.models.resnext import ResNeXtUnit
+
+    x = jnp.asarray(rng.randn(1, 8, 8, 32).astype(np.float32))
+    kw = dict(filters=32, dim_match=True, num_groups=8,
+              dtype=jnp.float32)
+    u1 = ResNeXtUnit(supergroups=1, **kw)
+    u2 = ResNeXtUnit(supergroups=2, **kw)
+    v = u1.init({"params": jax.random.PRNGKey(3)}, x, False)
+    o1 = u1.apply(v, x, False)
+    o2 = u2.apply(v, x, False)  # same variables, different formulation
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
