@@ -206,6 +206,15 @@ class MaskHead(nn.Module):
 
     num_fg_classes: int = 80
     num_layers: int = 4
+    # reference-faithful init: normal(0, 0.01) on every mask layer
+    # (init_weight_mask, resnet_mx_101_e2e_mask.py:524-539). Measured
+    # burn-in cost (round 5): five stacked 0.01-scale layers suppress
+    # spatial gradients so hard that overfit-scale runs sit at the
+    # constant-majority CE for 300+ steps (only the output bias
+    # learns) — production-scale schedules (~90k steps) escape it, but
+    # small smokes override this with a He init to test the mask
+    # CHAIN rather than the init's burn-in.
+    kernel_init: object = init_n01
 
     @nn.compact
     def __call__(self, pooled):
@@ -213,15 +222,17 @@ class MaskHead(nn.Module):
         h = pooled
         for i in range(self.num_layers):
             h = nn.relu(
-                nn.Conv(256, (3, 3), padding="SAME", kernel_init=init_n01,
+                nn.Conv(256, (3, 3), padding="SAME",
+                        kernel_init=self.kernel_init,
                         name=f"mask_conv_3x3_{i + 1}")(h)
             )
         h = nn.relu(
             nn.ConvTranspose(256, (2, 2), strides=(2, 2),
-                             kernel_init=init_n01, name="mask_deconv")(h)
+                             kernel_init=self.kernel_init,
+                             name="mask_deconv")(h)
         )
-        return nn.Conv(self.num_fg_classes * 2, (1, 1), kernel_init=init_n01,
-                       name="mask_out")(h)
+        return nn.Conv(self.num_fg_classes * 2, (1, 1),
+                       kernel_init=self.kernel_init, name="mask_out")(h)
 
 
 class AutoFocusHead(nn.Module):

@@ -7,12 +7,18 @@ configs/faster/sniper_res101_e2e_mask_autofocus.yml). The interaction
 under test is exactly where the round-3 roi-cap bug class lived: the
 mask-roi fg-prefix ordering x the chip-iterating inference path x the
 FocusPixel scale head all in one model. A tiny detector overfits 4
-real-photo crops with rectangle GT polygons through the full
-main_train CLI (mask + scale losses), then the full main_test CLI runs
-the 2-scale AutoFocus pipeline (coarse FocusPixel maps -> gmask
-FocusChips -> fine-scale chip detection with border pruning ->
-aggregate) and must report bbox AP > 0 AND segm AP > 0 with the
-AutoFocus chips actually engaged.
+real-photo crops with L-SHAPED GT polygons (5/8 box coverage — segm
+IoU genuinely diverges from bbox IoU) through the full main_train CLI
+(mask + scale losses), then the full main_test CLI runs the 2-scale
+AutoFocus pipeline (coarse FocusPixel maps -> gmask FocusChips ->
+fine-scale chip detection with border pruning -> aggregate) and must
+report bbox AP > 0 AND segm AP > 0 with the AutoFocus chips actually
+engaged — plus the round-5 discrimination: with box-like predicted
+masks (the reference-faithful mask init's measured burn-in behavior at
+smoke scale) segm AP must trail bbox AP exactly as the 5/8 coverage
+dictates (AP75 dies, AP50 survives), and re-scoring the SAME
+detections with GT-shaped masks must recover AP — the RLE -> cocoeval
+chain responds to mask content inside identical boxes.
 """
 
 import json
@@ -50,14 +56,22 @@ def make_real_coco_with_masks(tmp_path):
         images.append({"id": i, "width": 320, "height": 256,
                        "file_name": f"im{i}.jpg"})
         for x1, y1, x2, y2, cat in bxs:
+            # L-SHAPED polygon covering 5/8 of the box (full-width top
+            # quarter + left-half bottom): segm IoU genuinely diverges
+            # from bbox IoU (a filled box scores IoU 0.625 against this
+            # GT), so the rasterize -> crop-resize -> RLE -> segm-eval
+            # chain is DISCRIMINATED from the bbox path end to end —
+            # rectangle polys made segm AP equal bbox AP by
+            # construction. Reference polygon handling:
+            # /root/reference/lib/data_utils/data_workers.py:231-257.
+            xm = (x1 + x2) / 2
+            yq = y1 + (y2 - y1) / 4
             anns.append({
                 "id": aid, "image_id": i, "category_id": cat, "iscrowd": 0,
                 "bbox": [x1, y1, x2 - x1, y2 - y1],
                 "area": float((x2 - x1) * (y2 - y1)),
-                # rectangle polygon = the full box, so a perfect mask
-                # equals the box and segm AP can match bbox AP
                 "segmentation": [
-                    [x1, y1, x2, y1, x2, y2, x1, y2]
+                    [x1, y1, x2, y1, x2, yq, xm, yq, xm, y2, x1, y2]
                 ],
             })
             aid += 1
@@ -151,6 +165,14 @@ def tiny_mask_af_model(cfg, **overrides):
         units=(1, 1, 1, 1), dtype=jnp.float32,
         pre_nms_top_n=200, post_nms_top_n=32, num_rois=32,
         autofocus=True, with_mask=True, num_mask_rois=8,
+        # reference-faithful normal(0.01) mask init: measured (round 5,
+        # heads.MaskHead.kernel_init) it predicts ~all-foreground for
+        # 300+ steps (constant-majority CE plateau), so at this smoke's
+        # scale predicted masks are box-LIKE — which is exactly what
+        # the L-shape assertions below exploit. (A He-init head learns
+        # the L in <100 steps in isolation, but its early gradients
+        # into the shared tiny trunk collapse bbox AP at 24 steps —
+        # measured both ways.)
     )
     kw.update(overrides)
     return SNIPERDetector(**kw)
@@ -197,6 +219,20 @@ def test_mask_autofocus_config_end_to_end(tmp_path, monkeypatch, capsys):
         return out
 
     monkeypatch.setattr(main_test, "run_detection", spy)
+    # capture the aggregated (dets, mask_probs) pairs + dataset/roidb so
+    # the L-shape discrimination below can re-score modified masks
+    captured = {}
+    from sniper_tpu.data.coco import COCODataset
+
+    orig_segm = COCODataset.evaluate_segmentations
+
+    def spy_segm(self, all_masks, roidb_, save_json=True):
+        captured["dataset"] = self
+        captured["masks"] = all_masks
+        captured["roidb"] = roidb_
+        return orig_segm(self, all_masks, roidb_, save_json)
+
+    monkeypatch.setattr(COCODataset, "evaluate_segmentations", spy_segm)
     monkeypatch.setattr(sys, "argv", ["main_test.py", "--cfg", cfg_path])
     main_test.main()
 
@@ -210,3 +246,68 @@ def test_mask_autofocus_config_end_to_end(tmp_path, monkeypatch, capsys):
     segm_ap = stats["segm"]["AP"]
     assert np.isfinite(bbox_ap) and bbox_ap > 0.0, stats
     assert np.isfinite(segm_ap) and segm_ap > 0.0, stats
+
+    # ---- L-shape discrimination of the mask chain ------------------
+    # GT polys cover 5/8 of each box, so segm IoU genuinely diverges
+    # from bbox IoU. At this smoke's scale the reference-faithful
+    # normal(0.01) mask head predicts ~box-filling masks (see
+    # tiny_mask_af_model), so:
+    # (a) VERDICT's expected gap: a box-like mask scores IoU ~0.625
+    #     against the 5/8 GT — every eval threshold above 0.625 fails,
+    #     so segm AP must sit BELOW bbox AP with segm AP75 == 0 while
+    #     bbox AP50 survives. Rectangle GT made segm == bbox by
+    #     construction; this is the divergence that was never tested.
+    assert segm_ap < bbox_ap, (
+        f"segm AP {segm_ap:.3f} should trail bbox AP {bbox_ap:.3f} on "
+        "L-shaped GT with box-like predicted masks"
+    )
+    assert stats["segm"]["AP75"] == 0.0 and stats["bbox"]["AP50"] > 0, (
+        stats
+    )
+    # (b) inject the TRUE L shape into the SAME detections (crop each
+    #     image's rasterized GT mask to the detection box via the real
+    #     target op) and re-run the segm evaluator: AP must JUMP well
+    #     above the box-like masks' — end-to-end proof that the
+    #     RLE -> cocoeval chain responds to mask CONTENT inside
+    #     identical boxes, not just to the boxes.
+    from sniper_tpu.data.mask_utils import rasterize_gt_masks
+    from sniper_tpu.ops.boxes import bbox_overlaps
+    from sniper_tpu.ops.mask_target import mask_targets_from_dense
+
+    roidb_c = captured["roidb"]
+    dense_by_img = []
+    for r in roidb_c:
+        dense_by_img.append(rasterize_gt_masks(
+            r["gt_masks"], r["boxes"], grid=112,
+            max_n_gts=max(len(r["gt_masks"]), 1),
+        ).astype(np.float32))
+    shaped = []
+    for j, cls_masks in enumerate(captured["masks"]):
+        row = []
+        for i, pair in enumerate(cls_masks):
+            if pair is None or len(pair[0]) == 0:
+                row.append(pair)
+                continue
+            dets = np.asarray(pair[0])
+            r = roidb_c[i]
+            gtb = np.concatenate(
+                [r["boxes"], np.ones((len(r["boxes"]), 1), np.float32)],
+                axis=1,
+            )
+            ious = np.asarray(bbox_overlaps(dets[:, :4], r["boxes"]))
+            gids = ious.argmax(1).astype(np.int32)
+            rois = np.concatenate(
+                [np.zeros((len(dets), 1), np.float32), dets[:, :4]], 1)
+            t, _ = mask_targets_from_dense(
+                rois[None], gids[None], gtb[None].astype(np.float32),
+                dense_by_img[i][None],
+            )
+            row.append((dets, (np.asarray(t)[0] == 1).astype(np.float32)))
+        shaped.append(row)
+    shaped_stats = orig_segm(
+        captured["dataset"], shaped, roidb_c, save_json=False)
+    assert shaped_stats["AP"] > segm_ap + 0.05, (
+        f"GT-shaped masks in the same boxes should recover AP well "
+        f"above box-like masks: {shaped_stats['AP']:.3f} vs {segm_ap:.3f}"
+    )
+    assert shaped_stats["AP75"] > 0.0, shaped_stats
