@@ -120,13 +120,18 @@ def make_exact_head():
     return exact_head, seen
 
 
-def ap_delta(workdir):
-    cfg_path = os.path.join(workdir, "autofocus_learned.yml")
+def ap_delta(workdir, cfg_name="autofocus_learned.yml", extra_set=()):
+    """fast-vs-exact AP on any trained workdir. cfg_name selects the
+    yml (default: the learned-AutoFocus run; pass
+    minicoco_campaign.yml + TRAIN.AUTO_FOCUS True for the 300-image
+    campaign checkpoint)."""
+    cfg_path = os.path.join(workdir, cfg_name)
     ckpts = glob.glob(os.path.join(workdir, "output", "**",
                                    "checkpoints", "*"), recursive=True)
     if not (os.path.exists(cfg_path) and ckpts):
         print(f"no trained checkpoint under {workdir}; run "
-              "scripts/run_autofocus_learned_tpu.py first", flush=True)
+              "scripts/run_autofocus_learned_tpu.py (or the minicoco "
+              "campaign) first", flush=True)
         return {}
 
     import main_test
@@ -138,10 +143,15 @@ def ap_delta(workdir):
     def run_once(tag):
         old_argv = sys.argv
         # full pyramid, no caches — isolate the pooling backend
+        n_scales = 2
+        from sniper_tpu.config import load_config as _lc
+
+        n_scales = len(_lc(cfg_path).TEST.SCALES)
         sys.argv = ["main_test.py", "--cfg", cfg_path, "--set",
                     "TEST.AUTO_FOCUS", "False",
-                    "TEST.DO_PRUNING", "[False, False]",
-                    "TEST.USE_CACHE", "[False, False]"]
+                    "TEST.DO_PRUNING", str([False] * n_scales),
+                    "TEST.USE_CACHE", str([False] * n_scales),
+                    *extra_set]
         got = {}
 
         def det(*a, **kw):
@@ -185,7 +195,10 @@ def ap_delta(workdir):
 
 def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/af_learned2"
-    results = {"op": op_level(), "e2e": ap_delta(workdir)}
+    cfg_name = sys.argv[2] if len(sys.argv) > 2 else "autofocus_learned.yml"
+    extra = tuple(sys.argv[3:])
+    results = {"op": op_level(),
+               "e2e": ap_delta(workdir, cfg_name, extra)}
     print(json.dumps(results, default=str))
 
 

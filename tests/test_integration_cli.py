@@ -165,106 +165,13 @@ def tiny_model_cfgaware(cfg, **overrides):
     return SNIPERDetector(**kw)
 
 
-@pytest.mark.slow
-def test_neg_chip_three_phase_chain(tmp_path, monkeypatch):
-    """The reference's flagship training recipe, chained end to end
-    (scripts/train_neg_props_and_sniper.sh:45-70): RPN-only train ->
-    TEST.EXTRACT_PROPOSALS -> pkl -> load_rpn_proposals -> neg chips
-    actually mined from the extracted proposals -> a train step consumes
-    a neg chip (finite loss) -> full CLI phase-3 epoch completes."""
-    make_coco(tmp_path)
-    cfg_path = write_cfg(tmp_path)
-    props_dir = str(tmp_path / "props")
-
-    import sniper_tpu.models.registry as registry
-
-    monkeypatch.setitem(registry._REGISTRY, "resnet_mx_50_e2e",
-                        tiny_model_cfgaware)
-
-    # -- phase 1: RPN-only training (reference main_train + ONLY_PROPOSAL)
-    monkeypatch.setattr(sys, "argv", [
-        "main_train.py", "--cfg", cfg_path, "--set",
-        "TRAIN.ONLY_PROPOSAL", "True", "TRAIN.USE_NEG_CHIPS", "False",
-    ])
-    main_train.main()
-
-    # -- phase 2: proposal extraction over the training set (broad
-    # top-N so neg mining below has enough uncovered proposals, like the
-    # reference's 300/img extraction)
-    monkeypatch.setattr(sys, "argv", [
-        "main_test.py", "--cfg", cfg_path, "--set",
-        "TEST.EXTRACT_PROPOSALS", "True", "TRAIN.ONLY_PROPOSAL", "True",
-        "TEST.RPN_PRE_NMS_TOP_N", "600", "TEST.RPN_POST_NMS_TOP_N", "300",
-        "TEST.PROPOSAL_SAVE_PATH", props_dir,
-    ])
-    main_test.main()
-    import glob
-    import pickle
-
-    pkls = glob.glob(os.path.join(props_dir, "*_rpn.pkl"))
-    assert pkls, "phase 2 must write the proposal pkl"
-    with open(pkls[0], "rb") as f:
-        props = pickle.load(f)["boxes"]
-    assert len(props) == 4 and all(p.shape[1] == 5 for p in props)
-    assert min(p.shape[0] for p in props) >= 100, "expect ~300 props/image"
-
-    # -- phase 3a: proposals feed neg-chip mining and a train step
-    # consumes a neg chip
-    import optax
-
-    from sniper_tpu.config import load_config
-    from sniper_tpu.data.loader import ChipLoader
-    from sniper_tpu.parallel.mesh import make_mesh, shard_batch
-    from sniper_tpu.train.trainer import create_train_state, make_train_step
-    from sniper_tpu.utils.logger import create_logger
-
-    # a res-based scale + 128 chips leave uncovered proposals on these
-    # 320x256 images (a [-1, x] coarsest scale would chip the whole
-    # image and cover everything, like the reference's finest-scale rule)
-    neg_overrides = [
-        "TRAIN.USE_NEG_CHIPS", "True",
-        "TRAIN.SCALES", "[[256, 400]]",
-        "TRAIN.VALID_RANGES", "[[-1, -1]]",
-        "TRAIN.CHIP_SIZE", "128",
-    ]
-    cfg3 = load_config(cfg_path, neg_overrides)
-    logger, _ = create_logger(str(tmp_path / "output"), "tiny", "train_tiny")
-    roidb = main_train.build_roidb(cfg3, logger)
-    # proposals merged into the roidb boxes (gt rows + proposal rows)
-    assert all(len(r["boxes"]) > 3 for r in roidb)
-
-    loader = ChipLoader(roidb, cfg3, batch_size=1, seed=0)
-    loader.reset()
-    neg_images = {
-        i for i, r in enumerate(roidb) if len(r.get("neg_chips", []))
-    }
-    assert neg_images, "neg chips must be mined from extracted proposals"
-
-    # appended neg crops are the LAST entries of r['crops']
-    def is_neg_slot(im_idx, crop_id):
-        r = roidb[im_idx]
-        n_appended = min(len(r["neg_chips"]), loader.n_neg_per_im)
-        return crop_id >= len(r["crops"]) - n_appended and n_appended > 0
-
-    neg_slots = [pos for pos, (im, cid) in enumerate(loader.schedule)
-                 if is_neg_slot(im, cid)]
-    assert neg_slots, "the epoch schedule must contain a neg-chip slot"
-
-    model = tiny_model_cfgaware(cfg3)
-    mesh = make_mesh(1)
-    samples = [loader._sample(neg_slots[0])]
-    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-    state = create_train_state(model, cfg3, batch, optax.sgd(0.01))
-    step = make_train_step(model, optax.sgd(0.01), mesh,
-                           batch_images_per_device=1,
-                           rpn_batch_size=cfg3.TRAIN.RPN_BATCH_SIZE,
-                           pixel_means=cfg3.network.PIXEL_MEANS)
-    state, metrics = step(state, shard_batch(mesh, batch),
-                          jax.random.PRNGKey(0))
-    assert np.isfinite(float(metrics["loss"]))
-
-    # -- phase 3b: the full CLI epoch with neg chips runs end to end
-    monkeypatch.setattr(sys, "argv", [
-        "main_train.py", "--cfg", cfg_path, "--set", *neg_overrides,
-    ])
-    main_train.main()
+# The neg-chip 3-phase chain test that lived here through round 4 was
+# SUPERSEDED in round 5 by tests/test_minicoco_campaign.py, which runs
+# the same RPN-train -> EXTRACT_PROPOSALS -> neg-chip-mining -> phase-3
+# chain through the identical CLI surfaces plus checkpoint RESUME,
+# AutoFocus inference and native eval, on real-photo composites at 3x
+# the image count (and scripts/run_minicoco_campaign.py runs it at 300
+# images on the TPU). The fine-grained neg-slot assertions it carried
+# (a neg chip lands in the epoch schedule, a step consumes one with
+# finite loss) are covered by tests/test_loader.py's neg-chip tests;
+# keeping both chains cost 80s of slow-suite time for no extra surface.

@@ -4,7 +4,7 @@ scripts/run_minicoco_campaign.py is the 300-image TPU campaign (RPN
 train -> proposal extraction -> SNIPER+neg-chip+AutoFocus train with a
 real checkpoint RESUME -> full-pyramid eval -> AutoFocus eval). This
 drives the IDENTICAL phase flow — same script, same resumability
-checks, same summary artifact — shrunk to 16 composite images, a
+checks, same summary artifact — shrunk to 12 composite images, a
 2-scale pyramid at 256^2 chips and a tiny detector, so the phase
 plumbing (proposal pkl -> roidb merge -> neg chips -> begin_epoch
 restore -> aggregation -> native eval -> FocusChip tap) is regression-
@@ -66,7 +66,7 @@ TRAIN:
   warmup: false
   wd: 0.0
   begin_epoch: 0
-  end_epoch: 6
+  end_epoch: 4
   FLIP: false
   SHUFFLE: true
   BATCH_IMAGES: 4
@@ -85,7 +85,7 @@ TEST:
   N_PROPOSAL_PER_SCALE: [32, 32]
   NMS: 0.45
   NMS_SIGMA: -1
-  TEST_EPOCH: 6
+  TEST_EPOCH: 4
   USE_CACHE: [false, false]
 """
     p = os.path.join(workdir, "minicoco_campaign.yml")
@@ -131,13 +131,13 @@ def test_campaign_flow_shrunken(tmp_path, monkeypatch):
     import sniper_tpu.models.registry as registry
 
     workdir = str(tmp_path / "camp")
-    monkeypatch.setattr(camp, "END_EPOCH", 6)
-    monkeypatch.setattr(camp, "RESUME_AT", 3)
+    monkeypatch.setattr(camp, "END_EPOCH", 4)
+    monkeypatch.setattr(camp, "RESUME_AT", 2)
     monkeypatch.setattr(camp, "write_cfg", small_write_cfg)
     monkeypatch.setattr(camp, "AF_TEST", SMALL_AF_TEST)
     monkeypatch.setitem(registry._REGISTRY, "resnet_mx_50_e2e", tiny_model)
     monkeypatch.setattr(sys, "argv", ["run_minicoco_campaign.py",
-                                      workdir, "16"])
+                                      workdir, "12"])
     camp.main()
 
     with open(os.path.join(workdir, "campaign_summary.json")) as f:
@@ -147,7 +147,7 @@ def test_campaign_flow_shrunken(tmp_path, monkeypatch):
                 "3a_sniper_train_to_4", "3b_resume_4_to_8",
                 "4_test_full_pyramid", "5_test_autofocus"):
         assert tag in s["phase_seconds"], s["phase_seconds"]
-    assert s["n_images"] == 16  # FLIP off in the shrunken cfg
+    assert s["n_images"] == 12  # FLIP off in the shrunken cfg
     assert s["props_per_img_p50"] >= 16
     assert s["chips_per_epoch"] > 16
     assert s["neg_chips_total"] > 0
@@ -158,6 +158,4 @@ def test_campaign_flow_shrunken(tmp_path, monkeypatch):
     # the AutoFocus pass actually pruned: learned FocusChips covered a
     # measured fraction of the fine scale
     assert s["autofocus_pct_pixels"], s
-    # the resume phase restored from epoch 3, not retrained from 0:
-    # its checkpoint dir must contain epochs 4..6 only after 3b's start
     assert s["peak_rss_mb"] > 0

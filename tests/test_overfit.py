@@ -63,8 +63,13 @@ def make_batch(b=8):
 
 @pytest.mark.slow
 def test_overfit_single_batch():
-    mesh = make_mesh()
-    n_dev = len(jax.devices())
+    # 2 devices, not all 8: the step is EXECUTION-bound on virtual CPU
+    # devices (~50s/step at 8 vs ~13s at 2, tests/test_train_step.py
+    # note) and 2 exercise the same DP semantics — this test's signal
+    # is the LOSS TRAJECTORY, not the mesh width (the 8-wide path runs
+    # in the driver dryrun + mid-depth multichip test)
+    mesh = make_mesh(2)
+    n_dev = 2
     cfg = default_config()
     cfg.TRAIN.lr = 0.02
     cfg.TRAIN.warmup = False
