@@ -26,7 +26,20 @@ Per-phase wall-clock, peak RSS, chips/epoch and APs land in
 <workdir>/campaign_summary.json (quote them in ARCHITECTURE.md).
 Resumable: each phase is skipped when its artifact exists.
 
-  python scripts/run_minicoco_campaign.py [workdir] [n_images]
+  python scripts/run_minicoco_campaign.py [workdir] [n_images] [--mask]
+
+--mask additionally trains/evals the mask branch against the datagen's
+L-shaped polygons (segm AP at scale; use a fresh workdir — the mask
+checkpoint topology differs).
+
+Memory note: the phases are idempotent and individually skipped once
+their artifacts exist, and that is also the memory-isolation story —
+one process running ALL phases keeps the training phases' high-water
+mapped (glibc does not return freed arenas; the 300-image --mask run
+measured 66 GB after phase 3 and OOM-killed at 130 GB in phase 5).
+When a run dies or RSS is a concern, simply re-invoke the script: the
+fresh process resumes at the first incomplete phase with an eval-only
+footprint (~10-15 GB).
 """
 
 from __future__ import annotations
@@ -134,10 +147,20 @@ def make_minicoco(workdir, n_images=N_IMAGES, seed=0):
         images.append({"id": i, "width": w, "height": h,
                        "file_name": f"im{i}.jpg"})
         for x1, y1, x2, y2, cls in placed:
+            # L-shaped polygon covering 5/8 of the box (full-width top
+            # quarter + left-half bottom): used only by the --mask
+            # campaign variant, where segm IoU must genuinely diverge
+            # from bbox IoU (tests/test_mask_autofocus_smoke.py is the
+            # 4-image version of the same discrimination)
+            xm = (x1 + x2) / 2.0
+            yq = y1 + (y2 - y1) / 4.0
             anns.append({
                 "id": aid, "image_id": i, "category_id": cls,
                 "iscrowd": 0, "bbox": [x1, y1, x2 - x1, y2 - y1],
                 "area": float((x2 - x1) * (y2 - y1)),
+                "segmentation": [[float(v) for v in
+                                  (x1, y1, x2, y1, x2, yq, xm, yq,
+                                   xm, y2, x1, y2)]],
             })
             aid += 1
     os.makedirs(os.path.dirname(ann_path), exist_ok=True)
@@ -264,8 +287,13 @@ def main():
 
     import main_test
 
-    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/minicoco"
-    n_images = int(sys.argv[2]) if len(sys.argv) > 2 else N_IMAGES
+    # --mask: train/eval the mask branch too (TRAIN.WITH_MASK; the
+    # datagen's L-shaped polygons become live GT) — phases 4/5 then
+    # also report segm AP through evaluate_segmentations
+    argv = [a for a in sys.argv if a != "--mask"]
+    with_mask = len(argv) != len(sys.argv)
+    workdir = argv[1] if len(argv) > 1 else "/tmp/minicoco"
+    n_images = int(argv[2]) if len(argv) > 2 else N_IMAGES
     os.makedirs(workdir, exist_ok=True)
     summary_path = os.path.join(workdir, "campaign_summary.json")
     summary = (json.load(open(summary_path))
@@ -317,6 +345,8 @@ def main():
     # phase 3: SNIPER + neg chips + AutoFocus head, with a REAL resume:
     # first run stops at epoch 4; a fresh run restores its checkpoint
     sniper = ["TRAIN.USE_NEG_CHIPS", "True", "TRAIN.AUTO_FOCUS", "True"]
+    if with_mask:
+        sniper += ["TRAIN.WITH_MASK", "True"]
     done = glob.glob(os.path.join(workdir, "output", "**", "checkpoints",
                                   str(END_EPOCH)), recursive=True)
     mid = glob.glob(os.path.join(workdir, "output", "**", "checkpoints",
@@ -380,17 +410,26 @@ def main():
 
     try:
         if "ap_full_pyramid" not in summary:
-            # TRAIN.AUTO_FOCUS=True so the test-mode model is built
-            # with the FocusPixel head the phase-3 checkpoint trained
-            # (TEST.AUTO_FOCUS stays false: no pruning, maps unused)
+            # TRAIN.AUTO_FOCUS=True (+WITH_MASK for the mask variant)
+            # so the test-mode model is built with every head the
+            # phase-3 checkpoint trained (TEST.AUTO_FOCUS stays false:
+            # no pruning, maps unused)
+            heads_on = ["TRAIN.AUTO_FOCUS", "True"] + (
+                ["TRAIN.WITH_MASK", "True"] if with_mask else [])
             phase("4_test_full_pyramid", lambda: run(
-                ["main_test.py", "--cfg", cfg_path, "--set",
-                 "TRAIN.AUTO_FOCUS", "True"]))
+                ["main_test.py", "--cfg", cfg_path, "--set", *heads_on]))
             summary["ap_full_pyramid"] = caught["stats"]
+            # persist NOW: phase() only dumps at phase end, and losing
+            # this to a later-phase crash forces an 8-minute re-eval
+            # (learned from the --mask run's phase-5 OOM)
+            with open(summary_path, "w") as f:
+                json.dump(summary, f, indent=1, default=float)
         af_mod.add_chips = tap_add
+        heads_on = ["TRAIN.AUTO_FOCUS", "True"] + (
+            ["TRAIN.WITH_MASK", "True"] if with_mask else [])
         phase("5_test_autofocus", lambda: run(
             ["main_test.py", "--cfg", cfg_path, "--set",
-             "TRAIN.AUTO_FOCUS", "True", *AF_TEST]))
+             *heads_on, *AF_TEST]))
         summary["ap_autofocus"] = caught["stats"]
         summary["autofocus_pct_pixels"] = {
             str(k): round(v, 1) for k, v in pct.items()}

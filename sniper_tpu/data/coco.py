@@ -121,8 +121,14 @@ class COCODataset:
         return entry
 
     def gt_roidb(self, use_cache: bool = True):
+        # the cache key must carry load_mask: a maskless cache written
+        # by an earlier bbox-only run (e.g. the RPN phase of the
+        # neg-chip chain) would otherwise silently feed a WITH_MASK
+        # training run roidb entries without gt_masks (found by the
+        # --mask minicoco campaign, whose phase 1 is bbox-only)
+        suffix = "_mask" if self.load_mask else ""
         cache = os.path.join(
-            self.root_path, "cache", f"{self.name}_gt_roidb.pkl"
+            self.root_path, "cache", f"{self.name}_gt_roidb{suffix}.pkl"
         )
         if use_cache and os.path.exists(cache):
             with open(cache, "rb") as f:

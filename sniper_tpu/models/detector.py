@@ -226,6 +226,16 @@ class SNIPERDetector(nn.Module):
                 from sniper_tpu.ops.deform import fused_offset_pool
                 from sniper_tpu.ops.mask_target import mask_targets_from_dense
 
+                if gt_masks is None:
+                    # fail with the cause, not an attribute error: the
+                    # usual culprit is roidb entries without gt_masks
+                    # (dataset built with load_mask=False, or a stale
+                    # maskless roidb cache — see data/coco.gt_roidb)
+                    raise ValueError(
+                        "with_mask=True but the batch has no gt_masks "
+                        "— build the dataset with load_mask=True "
+                        "(TRAIN.WITH_MASK) and check the roidb cache"
+                    )
                 # the mask branch pools the first num_mask_rois sampled
                 # rois (fg-first slot order); cap at the sampler's roi
                 # count — tgt.rois[:, :m] would silently shrink otherwise
