@@ -34,6 +34,10 @@ def build_test_dataset(cfg):
         return COCODataset(
             str(cfg.dataset.test_image_set), cfg.dataset.root_path,
             cfg.dataset.dataset_path,
+            # mask configs need gt_masks in the TEST roidb too (mask
+            # visualization/diagnostics read them; the roidb cache is
+            # keyed on this flag, data/coco.gt_roidb)
+            load_mask=bool(cfg.TRAIN.WITH_MASK),
         )
     if name == "PascalVOC":
         from sniper_tpu.data.pascal_voc import PascalVOC

@@ -347,6 +347,11 @@ def main():
     sniper = ["TRAIN.USE_NEG_CHIPS", "True", "TRAIN.AUTO_FOCUS", "True"]
     if with_mask:
         sniper += ["TRAIN.WITH_MASK", "True"]
+    # phase 1 (RPN-only) saves checkpoints up to epoch 2 into the SAME
+    # output tree; a resume point <= 2 would make the globs below match
+    # the RPN-only checkpoint and phase 3b would restore the wrong
+    # topology (found by the shrunken campaign test at RESUME_AT=2)
+    assert RESUME_AT > 2, "RESUME_AT must exceed phase 1's 2 epochs"
     done = glob.glob(os.path.join(workdir, "output", "**", "checkpoints",
                                   str(END_EPOCH)), recursive=True)
     mid = glob.glob(os.path.join(workdir, "output", "**", "checkpoints",

@@ -4,7 +4,7 @@ scripts/run_minicoco_campaign.py is the 300-image TPU campaign (RPN
 train -> proposal extraction -> SNIPER+neg-chip+AutoFocus train with a
 real checkpoint RESUME -> full-pyramid eval -> AutoFocus eval). This
 drives the IDENTICAL phase flow — same script, same resumability
-checks, same summary artifact — shrunk to 12 composite images, a
+checks, same summary artifact — shrunk to 16 composite images, a
 2-scale pyramid at 256^2 chips and a tiny detector, so the phase
 plumbing (proposal pkl -> roidb merge -> neg chips -> begin_epoch
 restore -> aggregation -> native eval -> FocusChip tap) is regression-
@@ -66,7 +66,7 @@ TRAIN:
   warmup: false
   wd: 0.0
   begin_epoch: 0
-  end_epoch: 4
+  end_epoch: 5
   FLIP: false
   SHUFFLE: true
   BATCH_IMAGES: 4
@@ -85,7 +85,7 @@ TEST:
   N_PROPOSAL_PER_SCALE: [32, 32]
   NMS: 0.45
   NMS_SIGMA: -1
-  TEST_EPOCH: 4
+  TEST_EPOCH: 5
   USE_CACHE: [false, false]
 """
     p = os.path.join(workdir, "minicoco_campaign.yml")
@@ -131,13 +131,16 @@ def test_campaign_flow_shrunken(tmp_path, monkeypatch):
     import sniper_tpu.models.registry as registry
 
     workdir = str(tmp_path / "camp")
-    monkeypatch.setattr(camp, "END_EPOCH", 4)
-    monkeypatch.setattr(camp, "RESUME_AT", 2)
+    monkeypatch.setattr(camp, "END_EPOCH", 5)
+    # RESUME_AT must exceed phase 1's 2 RPN epochs: at 2, the
+    # resume-detection glob matched the RPN-only checkpoint and
+    # phase 3b restored the wrong topology (campaign asserts this)
+    monkeypatch.setattr(camp, "RESUME_AT", 3)
     monkeypatch.setattr(camp, "write_cfg", small_write_cfg)
     monkeypatch.setattr(camp, "AF_TEST", SMALL_AF_TEST)
     monkeypatch.setitem(registry._REGISTRY, "resnet_mx_50_e2e", tiny_model)
     monkeypatch.setattr(sys, "argv", ["run_minicoco_campaign.py",
-                                      workdir, "12"])
+                                      workdir, "16"])
     camp.main()
 
     with open(os.path.join(workdir, "campaign_summary.json")) as f:
@@ -147,7 +150,10 @@ def test_campaign_flow_shrunken(tmp_path, monkeypatch):
                 "3a_sniper_train_to_4", "3b_resume_4_to_8",
                 "4_test_full_pyramid", "5_test_autofocus"):
         assert tag in s["phase_seconds"], s["phase_seconds"]
-    assert s["n_images"] == 12  # FLIP off in the shrunken cfg
+    assert s["n_images"] == 16  # FLIP off in the shrunken cfg
+    # 16 images, not fewer: at 12 the composite draw left every
+    # valid-range proposal chip-covered and neg mining found no
+    # candidates (the 300-image campaign mines thousands)
     assert s["props_per_img_p50"] >= 16
     assert s["chips_per_epoch"] > 16
     assert s["neg_chips_total"] > 0
