@@ -75,6 +75,26 @@ def test_process_loader_bit_parity_two_epochs(setup):
         got.close()
 
 
+def test_process_loader_sample_batch_matches_inprocess(setup):
+    """main_train's shape probe goes through sample_batch() on the
+    process loader; it must return the same first batch (and advance
+    the loader rng identically) as next(iter(loader)) in-process."""
+    roidb, cfg = setup
+    ref = ChipLoader(roidb, cfg, batch_size=4, seed=11)
+    got = ProcessChipLoader(roidb, cfg, batch_size=4, seed=11)
+    try:
+        ref.reset()
+        got.reset()
+        a = next(iter(ref))
+        b = got.sample_batch()
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+    finally:
+        got.close()
+
+
 def test_process_loader_child_error_surfaces(setup):
     roidb, cfg = setup
     bad = [dict(r, image="/nonexistent/nope.jpg") for r in roidb]
