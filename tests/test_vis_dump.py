@@ -66,6 +66,12 @@ def test_prediction_dumper_writes_pkl_and_jpg(tmp_path, rng):
             assert dets[:, [1, 3]].max() <= H - 1 + 1e-5
 
 
+import pytest
+
+
+# slow set: compiles a 2-device train step (~50s on CPU) — the fast
+# set's <5 min bar doesn't have room for it
+@pytest.mark.slow
 def test_prediction_dumper_mesh_sharded_state(tmp_path, rng):
     """Round-4 advisor finding: on a >1-device mesh the train state is
     sharded/replicated by the partitioned step while the dumper's
